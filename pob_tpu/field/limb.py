@@ -1,0 +1,297 @@
+"""Batched big-integer modular arithmetic for TPU, in JAX.
+
+Representation: a field element is a little-endian vector of 16 limbs x 16
+bits stored in ``uint32`` (trailing axis of size 16). All ops broadcast over
+arbitrary leading (batch) axes and are jittable; hot paths run in Montgomery
+form (R = 2^256).
+
+Why 16-bit limbs in uint32: the TPU VPU has no 64-bit multiplier. 16x16-bit
+limb products fit exactly in uint32 ((2^16-1)^2 < 2^32), and partial products
+split into lo/hi halves accumulate across 16 limbs while staying < 2^22 —
+no overflow, no data-dependent control flow, everything static-shape so XLA
+fuses the whole multiply chain. (Replaces the x86 fr.asm witness-runtime
+role of the reference: circuits/main_*_cpp, Makefile:5-6.)
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ref import FR_MOD, FQ_MOD
+
+L = 16  # limbs per element
+BITS = 16  # bits per limb
+MASK = 0xFFFF
+U32 = jnp.uint32
+
+
+def int_to_limbs(x: int, n: int = L) -> np.ndarray:
+    """Python int -> little-endian uint32 limb vector."""
+    return np.array([(x >> (BITS * i)) & MASK for i in range(n)], dtype=np.uint32)
+
+
+def ints_to_limbs(xs, n: int = L) -> np.ndarray:
+    """Iterable of ints -> (len, n) uint32 limb array."""
+    return np.stack([int_to_limbs(int(x), n) for x in xs], axis=0)
+
+
+def limbs_to_int(a) -> int:
+    """Single limb vector (host) -> python int."""
+    a = np.asarray(a, dtype=np.uint64)
+    return sum(int(v) << (BITS * i) for i, v in enumerate(a))
+
+
+def limbs_to_ints(a):
+    """(batch..., n) limb array -> nested lists of python ints."""
+    a = np.asarray(a)
+    if a.ndim == 1:
+        return limbs_to_int(a)
+    return [limbs_to_ints(x) for x in a]
+
+
+@dataclass(frozen=True, eq=False)
+class FieldSpec:
+    """Static per-modulus constants (embedded into jitted programs)."""
+
+    mod: int
+    p: np.ndarray  # (L,) limbs of modulus
+    n0: int  # -p^{-1} mod 2^16
+    r_mont: np.ndarray  # R mod p = Montgomery representation of 1
+    r2: np.ndarray  # R^2 mod p (for to_mont)
+    inv_exp_bits: np.ndarray  # bits of mod-2, MSB first (for inversion)
+
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def make(mod: int) -> "FieldSpec":
+        r = (1 << (L * BITS)) % mod
+        r2 = (r * r) % mod
+        n0 = (-pow(mod, -1, 1 << BITS)) % (1 << BITS)
+        e = mod - 2
+        bits = np.array([(e >> i) & 1 for i in range(e.bit_length())][::-1], dtype=bool)
+        return FieldSpec(
+            mod=mod,
+            p=int_to_limbs(mod),
+            n0=n0,
+            r_mont=int_to_limbs(r),
+            r2=int_to_limbs(r2),
+            inv_exp_bits=bits,
+        )
+
+
+FR = FieldSpec.make(FR_MOD)
+FQ = FieldSpec.make(FQ_MOD)
+
+
+# ---------------------------------------------------------------------------
+# carry / borrow plumbing
+# ---------------------------------------------------------------------------
+
+
+def _carry_prop(c):
+    """Normalize accumulator limbs (< 2^22 each) to 16-bit limbs.
+
+    Returns (limbs, carry_out) where carry_out is whatever spills past the
+    last limb."""
+    n = c.shape[-1]
+    outs = []
+    carry = jnp.zeros(c.shape[:-1], U32)
+    for i in range(n):
+        v = c[..., i] + carry
+        outs.append(v & MASK)
+        carry = v >> BITS
+    return jnp.stack(outs, axis=-1), carry
+
+
+def _sub_raw(a, b):
+    """16-limb subtraction a - b; returns (limbs, borrow in {0,1})."""
+    outs = []
+    borrow = jnp.zeros(a.shape[:-1], U32)
+    for i in range(L):
+        v = a[..., i] - b[..., i] - borrow  # uint32 wraparound encodes the borrow
+        outs.append(v & MASK)
+        borrow = v >> 31
+    return jnp.stack(outs, axis=-1), borrow
+
+
+def _cond_sub_p(spec: FieldSpec, s, carry):
+    """Given s (16 limbs) + carry bit representing a value < 2p, reduce mod p."""
+    p = jnp.asarray(spec.p)
+    d, borrow = _sub_raw(s, jnp.broadcast_to(p, s.shape))
+    take_d = jnp.logical_or(carry.astype(bool), borrow == 0)
+    return jnp.where(take_d[..., None], d, s)
+
+
+# ---------------------------------------------------------------------------
+# modular add / sub / neg
+# ---------------------------------------------------------------------------
+
+
+def add(spec: FieldSpec, a, b):
+    s, carry = _carry_prop(a + b)
+    return _cond_sub_p(spec, s, carry)
+
+
+def sub(spec: FieldSpec, a, b):
+    d, borrow = _sub_raw(a, b)
+    p = jnp.broadcast_to(jnp.asarray(spec.p), d.shape)
+    fixed, _ = _carry_prop(d + p)
+    return jnp.where((borrow == 1)[..., None], fixed, d)
+
+
+def neg(spec: FieldSpec, a):
+    return sub(spec, jnp.zeros_like(a), a)
+
+
+def is_zero(a):
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+def select(cond, a, b):
+    """Elementwise field select: cond broadcast over the limb axis."""
+    return jnp.where(cond[..., None], a, b)
+
+
+# ---------------------------------------------------------------------------
+# multiplication / Montgomery reduction
+# ---------------------------------------------------------------------------
+
+
+def mul_wide(a, b):
+    """Full 512-bit product of two 16-limb values -> 32 normalized limbs."""
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    c = jnp.zeros(shape + (2 * L,), U32)
+    a = jnp.broadcast_to(a, shape + (L,))
+    b = jnp.broadcast_to(b, shape + (L,))
+    for i in range(L):
+        prod = a[..., i : i + 1] * b  # exact in uint32
+        lo = prod & MASK
+        hi = prod >> BITS
+        c = c.at[..., i : i + L].add(lo)
+        c = c.at[..., i + 1 : i + L + 1].add(hi)
+        # keep accumulators bounded: each position receives <= 2 limbs per i,
+        # so values stay < 2^16 * (2*16+1) < 2^22 — no intermediate overflow.
+    limbs, _ = _carry_prop(c)  # product < p^2 < 2^512, top carry is zero
+    return limbs
+
+
+def mont_reduce(spec: FieldSpec, c):
+    """Montgomery REDC: 32 normalized limbs -> 16 limbs of (c * R^{-1}) mod p."""
+    p = jnp.asarray(spec.p)
+    n0 = jnp.asarray(np.uint32(spec.n0))
+    for i in range(L):
+        m = (c[..., i] * n0) & MASK
+        prod = m[..., None] * p
+        lo = prod & MASK
+        hi = prod >> BITS
+        c = c.at[..., i : i + L].add(lo)
+        c = c.at[..., i + 1 : i + L + 1].add(hi)
+        # c[..., i] is now ≡ 0 (mod 2^16); flush its carry into position i+1 so
+        # the next iteration sees the final low 16 bits of c[i+1].
+        carry = c[..., i] >> BITS
+        c = c.at[..., i + 1].add(carry)
+        c = c.at[..., i].set(0)
+    hi_limbs, carry = _carry_prop(c[..., L:])
+    return _cond_sub_p(spec, hi_limbs, carry)
+
+
+def mont_mul(spec: FieldSpec, a, b):
+    return mont_reduce(spec, mul_wide(a, b))
+
+
+def mont_sqr(spec: FieldSpec, a):
+    return mont_reduce(spec, mul_wide(a, a))
+
+
+def to_mont(spec: FieldSpec, a):
+    return mont_mul(spec, a, jnp.asarray(spec.r2))
+
+def from_mont(spec: FieldSpec, a):
+    c = jnp.zeros(a.shape[:-1] + (2 * L,), U32).at[..., :L].set(a)
+    return mont_reduce(spec, c)
+
+
+def mont_pow_bits(spec: FieldSpec, a, exp_bits):
+    """a^e for a in Montgomery form, e given as a static MSB-first bit array.
+
+    Uses lax.scan so the compiled graph stays small (one squaring + one
+    conditional multiply per step)."""
+    bits = jnp.asarray(np.asarray(exp_bits, dtype=bool))
+    one = jnp.broadcast_to(jnp.asarray(spec.r_mont), a.shape)
+
+    def body(r, bit):
+        r = mont_sqr(spec, r)
+        rm = mont_mul(spec, r, a)
+        return select(jnp.broadcast_to(bit, r.shape[:-1]), rm, r), None
+
+    out, _ = jax.lax.scan(body, one, bits)
+    return out
+
+
+def mont_pow_int(spec: FieldSpec, a, e: int):
+    bits = np.array([(e >> i) & 1 for i in range(e.bit_length())][::-1], dtype=bool)
+    return mont_pow_bits(spec, a, bits)
+
+
+def inv_mont(spec: FieldSpec, a):
+    """Inverse in Montgomery form via Fermat (a^(p-2)); inv(aR)->a^{-1}R."""
+    return mont_pow_bits(spec, a, spec.inv_exp_bits)
+
+
+def batch_inv_mont(spec: FieldSpec, a, axis: int = 0):
+    """Montgomery-trick batched inversion along `axis` (one field inversion
+    total). Zero entries map to zero."""
+    a = jnp.moveaxis(a, axis, 0)
+    n = a.shape[0]
+    one = jnp.asarray(spec.r_mont)
+    zero_mask = is_zero(a)
+    safe = select(zero_mask, jnp.broadcast_to(one, a.shape), a)
+
+    prefixes = [jnp.broadcast_to(one, a.shape[1:])]
+    for i in range(n):
+        prefixes.append(mont_mul(spec, prefixes[-1], safe[i]))
+    total_inv = inv_mont(spec, prefixes[-1])
+    outs = [None] * n
+    acc = total_inv
+    for i in range(n - 1, -1, -1):
+        outs[i] = mont_mul(spec, acc, prefixes[i])
+        acc = mont_mul(spec, acc, safe[i])
+    out = jnp.stack(outs, axis=0)
+    out = select(zero_mask, jnp.zeros_like(out), out)
+    return jnp.moveaxis(out, 0, axis)
+
+
+# ---------------------------------------------------------------------------
+# byte / scalar conversions (device-side)
+# ---------------------------------------------------------------------------
+
+
+def limbs_to_be_bytes(a):
+    """(..., 16) limbs -> (..., 32) big-endian bytes (int32)."""
+    lo = (a & 0xFF).astype(jnp.int32)
+    hi = ((a >> 8) & 0xFF).astype(jnp.int32)
+    le = jnp.stack([lo, hi], axis=-1).reshape(a.shape[:-1] + (2 * L,))
+    return jnp.flip(le, axis=-1)
+
+
+def be_bytes_to_limbs(b):
+    """(..., 32) big-endian bytes -> (..., 16) limbs."""
+    le = jnp.flip(b, axis=-1).astype(U32)
+    pairs = le.reshape(b.shape[:-1] + (L, 2))
+    return pairs[..., 0] | (pairs[..., 1] << 8)
+
+
+def limbs_to_bits_le(a, nbits: int = 256):
+    """(..., 16) limbs -> (..., nbits) little-endian bits (int32)."""
+    shifts = np.arange(BITS, dtype=np.uint32)
+    bits = (a[..., :, None] >> shifts) & 1
+    bits = bits.reshape(a.shape[:-1] + (L * BITS,))
+    return bits[..., :nbits].astype(jnp.int32)
