@@ -1,0 +1,50 @@
+"""MSM sharded over a device mesh.
+
+Points and scalars are partitioned along the mesh axis (the tensor-parallel
+analog for this workload, SURVEY.md §2.10): each device runs the dense local
+MSM over its point shard, then the per-device Jacobian partials are combined
+with an all_gather + local tree reduction (point addition is not a psum-able
+monoid over coordinates, so the collective moves 3*16 u32 words per device —
+negligible next to the local work)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..prover import curve, msm
+
+
+def msm_sharded(mesh: Mesh, ops, points, scalars, axis: str = "data"):
+    """points: Jacobian arrays with leading axis m (divisible by mesh size);
+    scalars: (m, 16). Returns a single Jacobian point (replicated)."""
+    coord = P(axis, *([None] * (points[0].ndim - 1)))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(coord, coord, coord, P(axis, None)),
+        out_specs=(P(), P(), P()),
+    )
+    def body(px, py, pz, sc):
+        local = msm.msm(ops, (px, py, pz), sc)  # one Jacobian point
+        parts = tuple(
+            jax.lax.all_gather(c[None], axis)[:, 0] for c in local
+        )  # (ndev, ...)
+        total = curve.tree_reduce(ops, parts)
+        return tuple(c[None] for c in total)
+
+    out = body(points[0], points[1], points[2], scalars)
+    return tuple(c[0] for c in out)
+
+
+def msm_g1_sharded(mesh, points, scalars, axis: str = "data"):
+    return msm_sharded(mesh, curve.FqOps, points, scalars, axis)
+
+
+def msm_g2_sharded(mesh, points, scalars, axis: str = "data"):
+    return msm_sharded(mesh, curve.Fq2Ops, points, scalars, axis)

@@ -60,7 +60,7 @@ class FieldSpec:
 
     mod: int
     p: np.ndarray  # (L,) limbs of modulus
-    n0: int  # -p^{-1} mod 2^16
+    np_full: np.ndarray  # (L,) limbs of -p^{-1} mod 2^256 (full-word REDC)
     r_mont: np.ndarray  # R mod p = Montgomery representation of 1
     r2: np.ndarray  # R^2 mod p (for to_mont)
     inv_exp_bits: np.ndarray  # bits of mod-2, MSB first (for inversion)
@@ -70,13 +70,13 @@ class FieldSpec:
     def make(mod: int) -> "FieldSpec":
         r = (1 << (L * BITS)) % mod
         r2 = (r * r) % mod
-        n0 = (-pow(mod, -1, 1 << BITS)) % (1 << BITS)
+        np_full = (-pow(mod, -1, 1 << (L * BITS))) % (1 << (L * BITS))
         e = mod - 2
         bits = np.array([(e >> i) & 1 for i in range(e.bit_length())][::-1], dtype=bool)
         return FieldSpec(
             mod=mod,
             p=int_to_limbs(mod),
-            n0=n0,
+            np_full=int_to_limbs(np_full),
             r_mont=int_to_limbs(r),
             r2=int_to_limbs(r2),
             inv_exp_bits=bits,
@@ -89,33 +89,63 @@ FQ = FieldSpec.make(FQ_MOD)
 
 # ---------------------------------------------------------------------------
 # carry / borrow plumbing
+#
+# Carry propagation is the serial bottleneck of limbed arithmetic; instead of
+# an O(n) ripple chain (terrible for both XLA graph size and VPU utilization)
+# we use two vectorized split-add passes (after which every pending carry is
+# 0 or 1) and resolve the remaining unit-carry ripple with a Kogge-Stone
+# parallel prefix in log2(n) steps — all static-shape vector ops.
 # ---------------------------------------------------------------------------
 
 
-def _carry_prop(c):
-    """Normalize accumulator limbs (< 2^22 each) to 16-bit limbs.
+def _shift_up(a, d: int = 1):
+    """Shift limb values toward higher indices by d, zero-filling."""
+    pad = [(0, 0)] * (a.ndim - 1) + [(d, 0)]
+    return jnp.pad(a, pad)[..., : a.shape[-1]]
 
-    Returns (limbs, carry_out) where carry_out is whatever spills past the
-    last limb."""
-    n = c.shape[-1]
-    outs = []
-    carry = jnp.zeros(c.shape[:-1], U32)
-    for i in range(n):
-        v = c[..., i] + carry
-        outs.append(v & MASK)
-        carry = v >> BITS
-    return jnp.stack(outs, axis=-1), carry
+
+def carry_fix(v):
+    """Normalize arbitrary uint32 limb accumulators to 16-bit limbs.
+
+    Arithmetic is mod 2^(16n) — the caller provides headroom limbs if the
+    carry out of the top limb matters."""
+    n = v.shape[-1]
+    # pass 1: carries up to 16 bits
+    v = (v & MASK) + _shift_up(v >> BITS)  # now < 2^17
+    # pass 2: carries are 0/1
+    v = (v & MASK) + _shift_up(v >> BITS)  # now <= 2^16
+    # unit-carry ripple via parallel prefix over (generate, propagate)
+    g = v >> BITS  # 0/1
+    p = (v == MASK).astype(U32)
+    d = 1
+    while d < n:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d *= 2
+    cin = _shift_up(g)
+    return ((v & MASK) + cin) & MASK
+
+
+def _carry_prop(c):
+    """Back-compat helper: normalize and also return the carry past the top.
+
+    Appends a headroom limb, runs carry_fix, splits it back off."""
+    pad = [(0, 0)] * (c.ndim - 1) + [(0, 1)]
+    fixed = carry_fix(jnp.pad(c, pad))
+    return fixed[..., :-1], fixed[..., -1]
 
 
 def _sub_raw(a, b):
-    """16-limb subtraction a - b; returns (limbs, borrow in {0,1})."""
-    outs = []
-    borrow = jnp.zeros(a.shape[:-1], U32)
-    for i in range(L):
-        v = a[..., i] - b[..., i] - borrow  # uint32 wraparound encodes the borrow
-        outs.append(v & MASK)
-        borrow = v >> 31
-    return jnp.stack(outs, axis=-1), borrow
+    """16-limb subtraction a - b; returns (limbs, borrow in {0,1}).
+
+    Implemented as a + complement(b) + 1 so it reuses the parallel carry fix."""
+    comp = MASK - b
+    v = a + comp
+    v = v.at[..., 0].add(1)
+    pad = [(0, 0)] * (v.ndim - 1) + [(0, 1)]
+    fixed = carry_fix(jnp.pad(v, pad))
+    carry_out = fixed[..., L]
+    return fixed[..., :L], 1 - carry_out
 
 
 def _cond_sub_p(spec: FieldSpec, s, carry):
@@ -165,41 +195,55 @@ def select(cond, a, b):
 # ---------------------------------------------------------------------------
 
 
+# (i, j) partial product -> diagonal accumulator mapping for the schoolbook
+# multiply, expressed as one 0/1 matrix so the whole convolution becomes a
+# single int32 matmul (MXU-friendly on TPU, one HLO op instead of 32 scatter
+# updates): [plo_flat | phi_flat] (..., 512) @ _CONV (512, 32) -> (..., 32).
+def _conv_matrix():
+    m = np.zeros((2 * L * L, 2 * L), np.int32)
+    for i in range(L):
+        for j in range(L):
+            m[i * L + j, i + j] = 1  # lo half of a_i * b_j
+            m[L * L + i * L + j, i + j + 1] = 1  # hi half
+    return m
+
+
+_CONV = _conv_matrix()
+
+
 def mul_wide(a, b):
     """Full 512-bit product of two 16-limb values -> 32 normalized limbs."""
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    c = jnp.zeros(shape + (2 * L,), U32)
     a = jnp.broadcast_to(a, shape + (L,))
     b = jnp.broadcast_to(b, shape + (L,))
-    for i in range(L):
-        prod = a[..., i : i + 1] * b  # exact in uint32
-        lo = prod & MASK
-        hi = prod >> BITS
-        c = c.at[..., i : i + L].add(lo)
-        c = c.at[..., i + 1 : i + L + 1].add(hi)
-        # keep accumulators bounded: each position receives <= 2 limbs per i,
-        # so values stay < 2^16 * (2*16+1) < 2^22 — no intermediate overflow.
-    limbs, _ = _carry_prop(c)  # product < p^2 < 2^512, top carry is zero
-    return limbs
+    prod = a[..., :, None] * b[..., None, :]  # (..., 16, 16), exact in uint32
+    lo = (prod & MASK).astype(jnp.int32)
+    hi = (prod >> BITS).astype(jnp.int32)
+    flat = jnp.concatenate(
+        [lo.reshape(shape + (L * L,)), hi.reshape(shape + (L * L,))], axis=-1
+    )
+    acc = jax.lax.dot_general(
+        flat,
+        jnp.asarray(_CONV),
+        (((flat.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(U32)  # sums of <= 32 terms < 2^16 each: < 2^21, exact in int32
+    return carry_fix(acc)  # product < 2^512: top carry is zero
 
 
 def mont_reduce(spec: FieldSpec, c):
-    """Montgomery REDC: 32 normalized limbs -> 16 limbs of (c * R^{-1}) mod p."""
-    p = jnp.asarray(spec.p)
-    n0 = jnp.asarray(np.uint32(spec.n0))
-    for i in range(L):
-        m = (c[..., i] * n0) & MASK
-        prod = m[..., None] * p
-        lo = prod & MASK
-        hi = prod >> BITS
-        c = c.at[..., i : i + L].add(lo)
-        c = c.at[..., i + 1 : i + L + 1].add(hi)
-        # c[..., i] is now ≡ 0 (mod 2^16); flush its carry into position i+1 so
-        # the next iteration sees the final low 16 bits of c[i+1].
-        carry = c[..., i] >> BITS
-        c = c.at[..., i + 1].add(carry)
-        c = c.at[..., i].set(0)
-    hi_limbs, carry = _carry_prop(c[..., L:])
+    """Full-word Montgomery REDC: 32 normalized limbs -> (c * R^{-1}) mod p.
+
+    m = (c mod R) * (-p^{-1} mod R) mod R; result = (c + m*p) / R, one
+    conditional subtraction. Three wide multiplies total, each a single
+    matmul."""
+    m = mul_wide(c[..., :L], jnp.asarray(spec.np_full))[..., :L]
+    mp = mul_wide(m, jnp.asarray(spec.p))
+    u = c + mp  # < 2^17 per limb
+    pad = [(0, 0)] * (u.ndim - 1) + [(0, 1)]
+    fixed = carry_fix(jnp.pad(u, pad))  # (..., 33); low 16 limbs are zero
+    hi_limbs = fixed[..., L : 2 * L]
+    carry = fixed[..., 2 * L]  # result < 2p: carry is 0/1
     return _cond_sub_p(spec, hi_limbs, carry)
 
 

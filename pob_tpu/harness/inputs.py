@@ -111,6 +111,25 @@ def pob_expected_commitment(path_or_dict, cfg) -> int:
     )
 
 
+def widen_pob_input(d: dict, cfg) -> dict:
+    """Widen a recorded input to a larger circuit config: pad unused MPT layer
+    slots (dummy layerLens=256, mirroring the reference generator,
+    tests/main.py:148-150) and zero-extend node/header buffers."""
+    out = dict(d)
+    layers = [list(l) for l in d["layers"]]
+    lens = list(d["layerLens"])
+    node_bytes = cfg.max_node_bytes
+    layers = [l + [0] * (node_bytes - len(l)) for l in layers]
+    while len(layers) < cfg.max_num_layers:
+        layers.append([0] * node_bytes)
+        lens.append(256)
+    out["layers"] = layers[: cfg.max_num_layers]
+    out["layerLens"] = lens[: cfg.max_num_layers]
+    header = list(d["blockHeader"])
+    out["blockHeader"] = header + [0] * (cfg.max_header_bytes - len(header))
+    return out
+
+
 def batch_stack(instances):
     """Stack per-instance kwargs dicts into a batched kwargs dict."""
     keys = instances[0].keys()

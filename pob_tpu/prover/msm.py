@@ -70,3 +70,32 @@ def fixed_base_msm(ops, table, bits):
 
     acc, _ = jax.lax.scan(body, acc0, (bits,) + table)
     return acc
+
+
+WINDOW_BITS = 8
+N_WINDOWS = 256 // WINDOW_BITS
+
+
+def scalar_digits(scalars):
+    """(m, 16) canonical limbs -> (m, 32) uint8-range window digits (base 256).
+
+    With 16-bit limbs each limb yields two base-256 digits."""
+    lo = (scalars & 0xFF).astype(jnp.int32)
+    hi = ((scalars >> 8) & 0xFF).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=-1).reshape(scalars.shape[:-1] + (N_WINDOWS,))
+
+
+def windowed_fixed_base_msm(ops, table, scalars):
+    """Windowed fixed-base scalar multiplication: one gather + one point add
+    per 8-bit window (32 adds per scalar instead of 256).
+
+    table: Jacobian arrays with leading axes (N_WINDOWS, 256) where
+    table[w, v] = v * 2^(8w) * G (v=0 entries are infinity).
+    scalars: (m, 16) canonical limbs. Returns (m,) Jacobian points."""
+    digits = scalar_digits(scalars)  # (m, 32)
+    m = digits.shape[0]
+    acc = curve.infinity(ops, (m,))
+    for w in range(N_WINDOWS):
+        pts = tuple(jnp.take(c[w], digits[:, w], axis=0) for c in table)
+        acc = curve.point_add(ops, acc, pts)
+    return acc
