@@ -34,19 +34,32 @@ def main():
     inp = load_pob_input(wide, PROD_CONFIG)
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
+    iters = int(os.environ.get("BENCH_ITERS", "7"))
     kwargs = batch_stack([inp] * batch)
-    arrs = {k: jnp.asarray(v) for k, v in kwargs.items()}
+
+    # distinct inputs per iteration (the tunnel runtime memoizes identical
+    # executions) — vary _proofExtraCommitment, which changes every
+    # commitment but keeps the witness valid
+    def make(it):
+        pec = np.zeros((batch, 16), np.uint32)
+        pec[:, 0] = np.arange(batch) + it * batch + 1
+        d = dict(kwargs)
+        d["proof_extra_commitment"] = pec
+        return {k: jnp.asarray(v) for k, v in d.items()}
 
     fn = jax.jit(lambda kw: pob_forward(PROD_CONFIG, **kw))
-    out = fn(arrs)
-    jax.block_until_ready(out)  # compile + warm
+    warm = fn(make(10_000))
+    np.asarray(warm["commitment"])  # compile + warm, force completion
 
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    times = []
+    for it in range(iters):
+        arrs = make(it)
+        t0 = time.perf_counter()
         out = fn(arrs)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+        np.asarray(out["commitment"])[0, 0]  # host fetch forces completion
+        times.append(time.perf_counter() - t0)
+    assert bool(np.asarray(out["valid"]).all()), "witness must validate"
+    dt = sorted(times)[len(times) // 2]  # median
 
     proofs_per_sec = batch / dt
     print(
