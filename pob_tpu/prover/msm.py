@@ -31,7 +31,11 @@ def msm(ops, points, scalars):
     canonical limbs. Returns a single Jacobian point (batch-free)."""
     bits = scalar_bits(scalars)  # (256, m)
     m = bits.shape[1]
-    acc0 = curve.infinity(ops, (m,))
+    # derive the init accumulator from `points` (a select against the inputs)
+    # so its abstract type matches inside shard_map (varying-over-mesh-axis)
+    acc0 = curve.point_select(
+        ops, jnp.zeros((m,), bool), points, curve.infinity(ops, (m,))
+    )
 
     def body(carry, bit):
         acc, base = carry

@@ -162,9 +162,8 @@ def spend_witness(burn_key, balance, withdrawn, extra):
 
 def assemble_witness(cs: ConstraintSystem, tensors: dict):
     """Blocks dict -> (batch, num_wires, 16) witness buffer (wire 0 = 1)."""
-    some = next(iter(tensors.values()))
-    # infer batch shape from the 'inputs' block: (batch, 4, 16)
-    batch = tensors["inputs"].shape[:-2]
+    # infer batch shape from the public block: (batch, n_pub, 16)
+    batch = tensors["pub"].shape[:-2]
     buf = jnp.zeros(batch + (cs.num_wires, limb.L), U32)
     buf = buf.at[..., 0, 0].set(1)
     for blk in cs.blocks:

@@ -145,3 +145,119 @@ def bits_to_limb_block(bits):
     """(..., n) 0/1 int32 -> (..., n, 16) limb values."""
     out = jnp.zeros(bits.shape + (limb.L,), U32)
     return out.at[..., 0].set(bits.astype(U32))
+
+
+def int_bits(v, n: int):
+    """(...,) non-negative int32/int64 -> (..., n) LSB-first bits."""
+    shifts = np.arange(n, dtype=np.int64)
+    return ((jnp.asarray(v, jnp.int64)[..., None] >> shifts) & 1).astype(I32)
+
+
+def keccak_static_trace(msg_bytes, n_blocks: int):
+    """Witness twin of a static-length keccak chain: msg_bytes
+    (..., n_blocks*136) already padded. Returns (blocks, digest_bits) where
+    blocks holds, per block b: 'b{b}_ax' (b>0) and the keccak_f_trace blocks
+    'b{b}_tc' etc.; digest_bits is (..., 256) of the final state."""
+    blk_lo, blk_hi = kdev.bytes_to_blocks(msg_bytes, n_blocks)
+    batch = msg_bytes.shape[:-1]
+    lo = jnp.zeros(batch + (25,), U32)
+    hi = jnp.zeros(batch + (25,), U32)
+    blocks = {}
+    for b in range(n_blocks):
+        ax_lo = lo[..., :17] ^ blk_lo[..., b, :]
+        ax_hi = hi[..., :17] ^ blk_hi[..., b, :]
+        if b > 0:
+            blocks[f"b{b}_ax"] = lane_bits(ax_lo, ax_hi)
+        lo = lo.at[..., :17].set(ax_lo)
+        hi = hi.at[..., :17].set(ax_hi)
+        kb, (lo, hi) = keccak_f_trace(lo, hi)
+        for k, v in kb.items():
+            blocks[f"b{b}_{k}"] = v
+    digest_bits = lane_bits(lo[..., :4], hi[..., :4]).reshape(batch + (256,))
+    return blocks, digest_bits
+
+
+def keccak_bytes_trace(data, in_len, max_blocks: int):
+    """Witness twin of gadgets_cs.keccak_bytes_cs. data: (..., max_bytes)
+    int32 bytes; in_len: (...,) int32. Returns (blocks, digest_bits) with
+    block keys matching the cs allocation order (sans name prefix)."""
+    max_bytes = max_blocks * 136
+    batch = data.shape[:-1]
+    in_len = jnp.asarray(in_len, I32)
+    div = in_len // 136
+    rem = in_len % 136
+    blocks = {
+        "div": div[..., None].astype(I32),
+        "rem_bits": int_bits(rem, 8),
+        "rem_hi_bits": int_bits(135 - rem, 8),
+        "len_oh": jax.nn.one_hot(in_len, max_bytes, dtype=I32),
+        "blk_oh": jax.nn.one_hot(div, max_blocks, dtype=I32),
+    }
+    idx = jnp.arange(max_bytes, dtype=I32)
+    blocks["filter"] = (idx < in_len[..., None]).astype(I32)
+    padded, _ = kdev.pad_bytes(data, in_len, max_blocks)
+    blocks["padded"] = padded
+    blocks["pbits"] = int_bits(padded[..., None], 8).reshape(batch + (max_bytes, 8))
+
+    kblocks, digest_per_block = _dynamic_absorb_trace(padded, max_blocks)
+    blocks.update(kblocks)
+    # digest select partials: sel[b, bit] = blk_oh[b] * digest_b[bit]
+    sel = blocks["blk_oh"][..., :, None] * digest_per_block  # (..., max_blocks, 256)
+    blocks["sel"] = sel.astype(I32)
+    digest_bits = jnp.sum(sel, axis=-2).astype(I32)
+    return blocks, digest_bits
+
+
+def _dynamic_absorb_trace(padded, max_blocks: int):
+    blk_lo, blk_hi = kdev.bytes_to_blocks(padded, max_blocks)
+    batch = padded.shape[:-1]
+    lo = jnp.zeros(batch + (25,), U32)
+    hi = jnp.zeros(batch + (25,), U32)
+    blocks = {}
+    digests = []
+    for b in range(max_blocks):
+        ax_lo = lo[..., :17] ^ blk_lo[..., b, :]
+        ax_hi = hi[..., :17] ^ blk_hi[..., b, :]
+        if b > 0:
+            blocks[f"b{b}_ax"] = lane_bits(ax_lo, ax_hi)
+        lo = lo.at[..., :17].set(ax_lo)
+        hi = hi.at[..., :17].set(ax_hi)
+        kb, (lo, hi) = keccak_f_trace(lo, hi)
+        for k, v in kb.items():
+            blocks[f"b{b}_{k}"] = v
+        digests.append(lane_bits(lo[..., :4], hi[..., :4]).reshape(batch + (256,)))
+    return blocks, jnp.stack(digests, axis=-2)  # (..., max_blocks, 256)
+
+
+def digest_bits_to_bytes(digest_bits):
+    """(..., 256) bits -> (..., 32) bytes."""
+    pairs = digest_bits.reshape(digest_bits.shape[:-1] + (32, 8))
+    weights = (1 << np.arange(8)).astype(np.int32)
+    return jnp.sum(pairs * weights, axis=-1).astype(I32)
+
+
+# ---------------------------------------------------------------------------
+# small-field helpers for hint wires
+# ---------------------------------------------------------------------------
+
+
+def i32_sub_mod_p(a, b):
+    """(a - b) mod p as limb scalars, for small non-negative int32 a, b."""
+    a = jnp.asarray(a, jnp.int64)
+    b = jnp.asarray(b, jnp.int64)
+    d = a - b
+    pos = jnp.maximum(d, 0).astype(jnp.uint32)
+    neg = jnp.maximum(-d, 0).astype(jnp.uint32)
+    pos_l = jnp.zeros(d.shape + (limb.L,), U32).at[..., 0].set(pos & 0xFFFF).at[..., 1].set(pos >> 16)
+    neg_l = jnp.zeros(d.shape + (limb.L,), U32).at[..., 0].set(neg & 0xFFFF).at[..., 1].set(neg >> 16)
+    return limb.sub(FR, pos_l, neg_l)
+
+
+def is_zero_hints(diff_limbs):
+    """diff values (n, ..., 16) canonical -> (out bits, inv limbs) matching
+    gadgets_cs.is_zero_cs ({name}_inv then {name}_out order is handled by the
+    caller)."""
+    zero = limb.is_zero(diff_limbs)
+    dm = limb.to_mont(FR, diff_limbs)
+    inv = limb.from_mont(FR, limb.batch_inv_mont(FR, dm, axis=0))
+    return (~zero).astype(I32) * 0 + zero.astype(I32), inv

@@ -18,3 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_pob")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# The axon TPU plugin's sitecustomize force-sets jax_platforms; the env var
+# alone is not enough — re-pin the config to CPU after import.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
