@@ -31,7 +31,9 @@ def msm_sharded(mesh: Mesh, ops, points, scalars, axis: str = "data"):
         out_specs=(P(), P(), P()),
     )
     def body(px, py, pz, sc):
-        local = msm.msm(ops, (px, py, pz), sc)  # one Jacobian point
+        # Pippenger buckets once the local shard amortizes the merge cost
+        local_msm = msm.pippenger_msm if px.shape[0] >= 4096 else msm.msm
+        local = local_msm(ops, (px, py, pz), sc)  # one Jacobian point
         parts = tuple(
             jax.lax.all_gather(c[None], axis)[:, 0] for c in local
         )  # (ndev, ...)

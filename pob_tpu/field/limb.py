@@ -36,8 +36,15 @@ def int_to_limbs(x: int, n: int = L) -> np.ndarray:
 
 
 def ints_to_limbs(xs, n: int = L) -> np.ndarray:
-    """Iterable of ints -> (len, n) uint32 limb array."""
-    return np.stack([int_to_limbs(int(x), n) for x in xs], axis=0)
+    """Iterable of ints -> (len, n) uint32 limb array.
+
+    Vectorized through a byte buffer (one C-level to_bytes per element) so
+    million-element conversions (Groth16 setup) stay fast."""
+    xs = list(xs)
+    if not xs:
+        return np.zeros((0, n), np.uint32)
+    buf = b"".join(int(x).to_bytes(2 * n, "little") for x in xs)
+    return np.frombuffer(buf, np.uint16).reshape(len(xs), n).astype(np.uint32)
 
 
 def limbs_to_int(a) -> int:
@@ -311,6 +318,45 @@ def batch_inv_mont(spec: FieldSpec, a, axis: int = 0):
     out = jnp.stack(outs, axis=0)
     out = select(zero_mask, jnp.zeros_like(out), out)
     return jnp.moveaxis(out, 0, axis)
+
+
+def batch_inv_mont_scan(spec: FieldSpec, a):
+    """Montgomery-trick batched inversion over a large leading axis, using
+    log-depth associative scans (batch_inv_mont unrolls its loop in Python and
+    is only suitable for small static batches). a: (n, 16) Montgomery, n >= 1.
+    Zero entries map to zero. One field inversion total."""
+    one = jnp.broadcast_to(jnp.asarray(spec.r_mont), a.shape)
+    zero_mask = is_zero(a)
+    safe = select(zero_mask, one, a)
+    mul = lambda x, y: mont_mul(spec, x, y)
+    # inclusive prefix products p[i] = a0*...*ai, and reversed suffix products
+    prefix = jax.lax.associative_scan(mul, safe, axis=0)
+    suffix = jnp.flip(jax.lax.associative_scan(mul, jnp.flip(safe, 0), axis=0), 0)
+    total_inv = inv_mont(spec, prefix[-1])
+    # inv[i] = total_inv * prefix_exclusive[i] * suffix_exclusive[i]
+    pre_ex = jnp.concatenate([one[:1], prefix[:-1]], axis=0)
+    suf_ex = jnp.concatenate([suffix[1:], one[:1]], axis=0)
+    out = mul(mul(pre_ex, suf_ex), jnp.broadcast_to(total_inv, a.shape))
+    return select(zero_mask, jnp.zeros_like(out), out)
+
+
+def mont_powers(spec: FieldSpec, base: int, n: int):
+    """Device array (n, 16) of base^j in Montgomery form, j in [0, n), built
+    by log-step doubling (j-th chunk = previous chunk * base^len)."""
+    base_m = jnp.asarray(int_to_limbs(base % spec.mod * pow(2, 256, spec.mod) % spec.mod))
+    return mont_powers_mont(spec, base_m, n)
+
+
+def mont_powers_mont(spec: FieldSpec, base_mont, n: int):
+    """Like mont_powers but with the base as a traced (16,) Montgomery operand
+    (usable inside jit with a data-dependent base)."""
+    assert n >= 1
+    acc = jnp.asarray(spec.r_mont)[None, :]  # [base^0]
+    step = base_mont
+    while acc.shape[0] < n:
+        acc = jnp.concatenate([acc, mont_mul(spec, acc, step)], axis=0)
+        step = mont_sqr(spec, step)
+    return acc[:n]
 
 
 # ---------------------------------------------------------------------------

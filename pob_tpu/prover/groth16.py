@@ -16,6 +16,7 @@ Verification: e(A, B) = e(alpha, beta) e(IC(pub), gamma) e(C, delta)."""
 
 from __future__ import annotations
 
+import functools
 import secrets
 from dataclasses import dataclass
 
@@ -114,35 +115,140 @@ def _poly_evals_at_tau(coo, lag, nw):
     return out
 
 
-def _g1_table():
-    pts = []
-    p = G1_GEN
-    for _ in range(256):
-        pts.append(p)
-        p = g1_add(p, p)
-    return curve.g1_points_to_device(pts)
+@functools.lru_cache(maxsize=None)
+def _window_table(group: str):
+    """Host-built windowed fixed-base table: table[w][v] = v * 2^(8w) * G,
+    w in [0, 32), v in [0, 256). Returns device Jacobian arrays with leading
+    axes (N_WINDOWS, 256)."""
+    if group == "g1":
+        gen, add, to_dev = G1_GEN, g1_add, curve.g1_points_to_device
+    else:
+        from ..field.ref import g2_add
+
+        gen, add, to_dev = G2_GEN, g2_add, curve.g2_points_to_device
+    rows = []
+    base = gen
+    for _ in range(msm.N_WINDOWS):
+        row, acc = [None], None
+        for _ in range(255):
+            acc = add(acc, base)
+            row.append(acc)
+        rows.append(row)
+        for _ in range(8):  # base <- 256 * base
+            base = add(base, base)
+    dev = to_dev([p for row in rows for p in row])
+    return tuple(c.reshape((msm.N_WINDOWS, 256) + c.shape[1:]) for c in dev)
 
 
-def _g2_table():
-    from ..field.ref import g2_add
-
-    pts = []
-    p = G2_GEN
-    for _ in range(256):
-        pts.append(p)
-        p = g2_add(p, p)
-    return curve.g2_points_to_device(pts)
+_SETUP_CHUNK = 1 << 17
 
 
-def _fixed_base_g1(scalars):
-    """List of Fr ints -> device Jacobian G1 points (len,)."""
-    bits = msm.scalar_bits(jnp.asarray(limb.ints_to_limbs(scalars)))
-    return jax.jit(lambda t, b: msm.fixed_base_msm(curve.FqOps, t, b))(_g1_table(), bits)
+@functools.lru_cache(maxsize=None)
+def _fixed_base_fn(group: str):
+    ops = curve.FqOps if group == "g1" else curve.Fq2Ops
+    return jax.jit(lambda t, s: msm.windowed_fixed_base_msm(ops, t, s))
 
 
-def _fixed_base_g2(scalars):
-    bits = msm.scalar_bits(jnp.asarray(limb.ints_to_limbs(scalars)))
-    return jax.jit(lambda t, b: msm.fixed_base_msm(curve.Fq2Ops, t, b))(_g2_table(), bits)
+def _fixed_base(group: str, scalars, chunk: int = _SETUP_CHUNK):
+    """scalars: (m, 16) canonical Fr limbs (device) -> (m,) device Jacobian
+    points scalar_i * G, computed in bounded-memory chunks via the windowed
+    table (32 gathered point adds per scalar)."""
+    table = _window_table(group)
+    ops = curve.FqOps if group == "g1" else curve.Fq2Ops
+    m = int(scalars.shape[0])
+    if m == 0:
+        return curve.infinity(ops, (0,))
+    fn = _fixed_base_fn(group)
+    outs = []
+    for i in range(0, m, chunk):
+        sc = scalars[i : i + chunk]
+        mm = int(sc.shape[0])
+        # pad to a power of two so compiles are shared across query sizes
+        # (zero scalars multiply to infinity and are sliced away)
+        mp = max(64, 1 << (mm - 1).bit_length())
+        if mp != mm:
+            sc = jnp.concatenate([sc, jnp.zeros((mp - mm, limb.L), limb.U32)], axis=0)
+        out = fn(table, sc)
+        outs.append(tuple(c[:mm] for c in out))
+    return tuple(jnp.concatenate([o[c] for o in outs], axis=0) for c in range(3))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _lagrange_kernel(k: int, tau_m, mult):
+    n = 1 << k
+    w_m = jnp.asarray(limb.int_to_limbs(ntt.domain_root(k) * _R % FR_MOD))
+    pws = limb.mont_powers_mont(FRS, w_m, n)
+    denoms = limb.sub(FRS, jnp.broadcast_to(tau_m, pws.shape), pws)
+    invs = limb.batch_inv_mont_scan(FRS, denoms)
+    return limb.mont_mul(FRS, limb.mont_mul(FRS, pws, invs), mult)
+
+
+def _lagrange_at_tau_mont_dev(k: int, tau: int):
+    """Device (n, 16) Montgomery limbs of L_j(tau) = w^j (tau^n - 1) /
+    (n (tau - w^j)) — the device twin of _lagrange_at_tau, using log-depth
+    scans so 2^23-size domains (prod PoB) stay fast."""
+    n = 1 << k
+    zt_over_n = (pow(tau, n, FR_MOD) - 1) * _inv(n) % FR_MOD
+    tau_m = jnp.asarray(limb.int_to_limbs(tau * _R % FR_MOD))
+    mult = jnp.asarray(limb.int_to_limbs(zt_over_n * _R % FR_MOD))
+    return _lagrange_kernel(k, tau_m, mult)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _poly_kernel(nw: int, rows, cols, cf, lag_mont):
+    cf_m = limb.to_mont(FRS, cf)
+    terms = limb.mont_mul(FRS, cf_m, lag_mont[rows])
+    s_lo = jax.ops.segment_sum(terms & 0xFF, cols, num_segments=nw)
+    s_hi = jax.ops.segment_sum(terms >> 8, cols, num_segments=nw)
+
+    def redc(s):  # wide sum (< 2^280) -> (sum * R^{-1}) mod p, canonical
+        padded = jnp.zeros((nw, 2 * limb.L), limb.U32).at[:, : limb.L].set(s)
+        norm, _ = limb._carry_prop(padded)
+        return limb.mont_reduce(FRS, norm)
+
+    c256 = jnp.asarray(limb.int_to_limbs(256 * _R % FR_MOD))
+    # terms were Montgomery (x R): (S_lo + 256 S_hi) R^{-1} = sum x, canonical
+    return limb.add(FRS, redc(s_lo), limb.mont_mul(FRS, redc(s_hi), c256))
+
+
+def _poly_evals_dev(coo, lag_mont, nw: int):
+    """Device twin of _poly_evals_at_tau: u_i(tau) = sum_{(j,i,c)} c L_j(tau)
+    via one segment-sum over the COO. Returns (nw, 16) canonical limbs.
+
+    The 16-bit limbs of the Montgomery terms are split into 8-bit halves
+    before summation so u32 accumulators stay exact for up to 2^24 terms per
+    wire column (the constant-wire column of the prod PoB system has ~10^7)."""
+    rows, cols, coeffs = coo
+    if len(coeffs) == 0:
+        return jnp.zeros((nw, limb.L), limb.U32)
+    cf = jnp.asarray(limb.ints_to_limbs(coeffs))
+    return _poly_kernel(
+        nw,
+        jnp.asarray(np.asarray(rows, np.int32)),
+        jnp.asarray(np.asarray(cols, np.int32)),
+        cf,
+        lag_mont,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _setup_scalars_kernel(npub: int, u, v, w, beta_m, alpha_m, ginv_m, dinv_m):
+    """From the canonical QAP evals, derive the ic/l query scalars on device
+    (canonical limbs). beta_m etc. are constants pre-multiplied by R."""
+    k_dev = limb.add(
+        FRS,
+        limb.add(FRS, limb.mont_mul(FRS, u, beta_m), limb.mont_mul(FRS, v, alpha_m)),
+        w,
+    )
+    ic_scalars = limb.mont_mul(FRS, k_dev[: npub + 1], ginv_m)
+    l_scalars = limb.mont_mul(FRS, k_dev[npub + 1 :], dinv_m)
+    return ic_scalars, l_scalars
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _h_scalars_kernel(n: int, tau_m, mult):
+    """tau^j * Z(tau) * delta^{-1} for j in [0, n-1), canonical limbs."""
+    return limb.mont_mul(FRS, limb.mont_powers_mont(FRS, tau_m, n - 1), mult)
 
 
 def _mats_to_device(cs: ConstraintSystem):
@@ -166,32 +272,33 @@ def setup(cs: ConstraintSystem, rng=None) -> tuple[ProvingKey, VerifyingKey]:
     nw = cs.num_wires
     npub = cs.num_public
 
-    lag = _lagrange_at_tau(k, tau)
+    lag = _lagrange_at_tau_mont_dev(k, tau)
     mats = cs.matrices()
-    u_tau = _poly_evals_at_tau(mats[0], lag, nw)
-    v_tau = _poly_evals_at_tau(mats[1], lag, nw)
-    w_tau = _poly_evals_at_tau(mats[2], lag, nw)
+    u_tau = _poly_evals_dev(mats[0], lag, nw)  # (nw, 16) canonical, device
+    v_tau = _poly_evals_dev(mats[1], lag, nw)
+    w_tau = _poly_evals_dev(mats[2], lag, nw)
 
     gamma_inv = _inv(gamma)
     delta_inv = _inv(delta)
     zt = (pow(tau, n, FR_MOD) - 1) % FR_MOD
 
-    ic_scalars = [
-        (beta * u_tau[i] + alpha * v_tau[i] + w_tau[i]) % FR_MOD * gamma_inv % FR_MOD
-        for i in range(npub + 1)
-    ]
-    l_scalars = [
-        (beta * u_tau[i] + alpha * v_tau[i] + w_tau[i]) % FR_MOD * delta_inv % FR_MOD
-        for i in range(npub + 1, nw)
-    ]
-    h_scalars = [pow(tau, j, FR_MOD) * zt % FR_MOD * delta_inv % FR_MOD for j in range(n - 1)]
+    def const(c):  # constant pre-scaled by R so mont_mul(x, cR) = x c
+        return jnp.asarray(limb.int_to_limbs(c * _R % FR_MOD))
 
-    a_query = _fixed_base_g1(u_tau)
-    b1_query = _fixed_base_g1(v_tau)
-    b2_query = _fixed_base_g2(v_tau)
-    l_query = _fixed_base_g1(l_scalars) if l_scalars else curve.infinity(curve.FqOps, (0,))
-    h_query = _fixed_base_g1(h_scalars)
-    ic_dev = _fixed_base_g1(ic_scalars)
+    ic_scalars, l_scalars = _setup_scalars_kernel(
+        npub, u_tau, v_tau, w_tau, const(beta), const(alpha),
+        const(gamma_inv), const(delta_inv),
+    )
+    h_scalars = _h_scalars_kernel(
+        n, const(tau), jnp.asarray(limb.int_to_limbs(zt * delta_inv % FR_MOD))
+    )
+
+    a_query = _fixed_base("g1", u_tau)
+    b1_query = _fixed_base("g1", v_tau)
+    b2_query = _fixed_base("g2", v_tau)
+    l_query = _fixed_base("g1", l_scalars)
+    h_query = _fixed_base("g1", h_scalars)
+    ic_dev = _fixed_base("g1", ic_scalars)
     ic = [curve.to_affine_host("fq", tuple(c[i] for c in ic_dev)) for i in range(npub + 1)]
 
     pk = ProvingKey(
@@ -238,13 +345,12 @@ def sparse_matvec_mont(mat, witness, n: int):
     return limb.mont_mul(FRS, red, jnp.asarray(limb.int_to_limbs(_R2_FR)))  # = S
 
 
-def compute_h(pk: ProvingKey, witness):
-    """QAP division: h coefficients (n-1, 16) canonical limbs."""
-    k = pk.k
+def _compute_h_traced(k: int, mats, witness):
+    """QAP division: h coefficients (n-1, 16) canonical limbs (trace-time)."""
     n = 1 << k
-    aw = sparse_matvec_mont(pk.mats[0], witness, n)
-    bw = sparse_matvec_mont(pk.mats[1], witness, n)
-    cw = sparse_matvec_mont(pk.mats[2], witness, n)
+    aw = sparse_matvec_mont(mats[0], witness, n)
+    bw = sparse_matvec_mont(mats[1], witness, n)
+    cw = sparse_matvec_mont(mats[2], witness, n)
     ia = ntt.intt(aw, k)
     ib = ntt.intt(bw, k)
     ic_ = ntt.intt(cw, k)
@@ -259,6 +365,37 @@ def compute_h(pk: ProvingKey, witness):
     )
     h_coeffs = ntt.coset_evals_to_coeffs(h_evals, k)
     return limb.from_mont(FRS, h_coeffs[: n - 1])
+
+
+def compute_h(pk: ProvingKey, witness):
+    """QAP division: h coefficients (n-1, 16) canonical limbs."""
+    return _compute_h_traced(pk.k, pk.mats, witness)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _prove_kernel(k: int, npub: int, mats, a_q, b1_q, b2_q, l_q, h_q, w):
+    """The whole device side of prove(): QAP division + the five MSMs, one
+    compiled program (eager dispatch over the TPU tunnel is latency-bound)."""
+    h = _compute_h_traced(k, mats, w)
+
+    # Pippenger (32m point-adds) once the problem is big enough to amortize
+    # its fixed bucket-merge cost; the 256-step scan (512m) for small systems
+    def msm1(points, scalars):
+        if int(points[0].shape[0]) >= 4096:
+            return msm.pippenger_msm_g1(points, scalars)
+        return msm.msm_g1(points, scalars)
+
+    def msm2(points, scalars):
+        if int(points[0].shape[0]) >= 4096:
+            return msm.pippenger_msm_g2(points, scalars)
+        return msm.msm_g2(points, scalars)
+
+    a_sum = msm1(a_q, w)
+    b1_sum = msm1(b1_q, w)
+    b2_sum = msm2(b2_q, w)
+    c_l = msm1(l_q, w[npub + 1 :]) if int(l_q[0].shape[0]) > 0 else None
+    c_h = msm1(h_q, h)
+    return a_sum, b1_sum, b2_sum, c_l, c_h
 
 
 def _single_scalar_mul(ops, point_host, scalar: int):
@@ -281,17 +418,10 @@ def prove(pk: ProvingKey, witness_limbs, r: int | None = None, s: int | None = N
     w = jnp.asarray(witness_limbs)
     npub = pk.num_public
 
-    h = compute_h(pk, w)
-
-    a_sum = msm.msm_g1(pk.a_query, w)
-    b1_sum = msm.msm_g1(pk.b1_query, w)
-    b2_sum = msm.msm_g2(pk.b2_query, w)
-    c_l = (
-        msm.msm_g1(pk.l_query, w[npub + 1 :])
-        if int(pk.l_query[0].shape[0]) > 0
-        else None
+    a_sum, b1_sum, b2_sum, c_l, c_h = _prove_kernel(
+        pk.k, npub, pk.mats, pk.a_query, pk.b1_query, pk.b2_query,
+        pk.l_query, pk.h_query, w,
     )
-    c_h = msm.msm_g1(pk.h_query, h)
 
     # host-side small combinations
     def aff1(p):

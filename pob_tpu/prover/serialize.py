@@ -1,6 +1,8 @@
 """Serialization compatible with the circom/snarkjs toolchain formats:
 - .wtns binary witness files (the output format of the reference's generated
   C++ witness runtime, Makefile:5-6),
+- .r1cs binary constraint systems (the format `circom -c` emits and snarkjs
+  consumes for Groth16 setup, SURVEY.md §2.8),
 - snarkjs proof.json / public.json for Groth16 proofs.
 """
 
@@ -12,6 +14,7 @@ import struct
 from ..field.ref import FR_MOD
 
 _WTNS_MAGIC = b"wtns"
+_R1CS_MAGIC = b"r1cs"
 
 
 def write_wtns(path: str, witness_ints, prime: int = FR_MOD):
@@ -60,6 +63,108 @@ def read_wtns(path: str):
     return prime, values
 
 
+def write_r1cs(path: str, cs, prime: int = FR_MOD):
+    """Write a ConstraintSystem as a circom/snarkjs binary .r1cs file
+    (format version 1: header, constraints, wire2label sections) so the
+    emitted system can be consumed by the stock snarkjs Groth16 pipeline —
+    the reference's downstream prover (SURVEY.md §2.8, circuitscan.yml:27-39).
+
+    Public wires are recorded as public *outputs* (nPubOut), matching how the
+    circuits expose a single `commitment` output (proof_of_burn.circom:40)."""
+    n8 = 32
+    nw = cs.num_wires
+    npub = cs.num_public
+
+    def coeff_bytes(c: int) -> bytes:
+        return (c % prime).to_bytes(n8, "little")
+
+    # group COO terms by constraint row for each matrix
+    mats = []
+    for coo in cs.matrices():
+        rows, cols, coeffs = coo
+        order = None
+        import numpy as np
+
+        order = np.argsort(rows, kind="stable")
+        rows = rows[order]
+        cols = cols[order]
+        coeffs = [coeffs[i] for i in order]
+        starts = np.searchsorted(rows, np.arange(cs.num_constraints))
+        ends = np.searchsorted(rows, np.arange(cs.num_constraints), side="right")
+        mats.append((cols, coeffs, starts, ends))
+
+    body = bytearray()
+    for r in range(cs.num_constraints):
+        for cols, coeffs, starts, ends in mats:
+            s, e = int(starts[r]), int(ends[r])
+            body += struct.pack("<I", e - s)
+            for i in range(s, e):
+                body += struct.pack("<I", int(cols[i]))
+                body += coeff_bytes(coeffs[i])
+
+    with open(path, "wb") as f:
+        f.write(_R1CS_MAGIC)
+        f.write(struct.pack("<II", 1, 3))  # version, n_sections
+        header = (
+            struct.pack("<I", n8)
+            + prime.to_bytes(n8, "little")
+            + struct.pack("<IIIIQI", nw, npub, 0, nw - 1 - npub, nw, cs.num_constraints)
+        )
+        f.write(struct.pack("<iq", 1, len(header)))
+        f.write(header)
+        f.write(struct.pack("<iq", 2, len(body)))
+        f.write(body)
+        labels = b"".join(struct.pack("<Q", i) for i in range(nw))
+        f.write(struct.pack("<iq", 3, len(labels)))
+        f.write(labels)
+
+
+def read_r1cs(path: str):
+    """Read a circom/snarkjs .r1cs -> dict with prime, counts, and
+    constraints as a list of (A, B, C) term dicts {wire: coeff}."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:4] == _R1CS_MAGIC, "bad r1cs magic"
+    _version, n_sections = struct.unpack_from("<II", data, 4)
+    off = 12
+    sections = {}
+    for _ in range(n_sections):
+        sec_id, sec_len = struct.unpack_from("<iq", data, off)
+        off += 12
+        sections[sec_id] = data[off : off + sec_len]
+        off += sec_len
+    hdr = sections[1]
+    n8 = struct.unpack_from("<I", hdr, 0)[0]
+    prime = int.from_bytes(hdr[4 : 4 + n8], "little")
+    nw, npubout, npubin, nprvin, nlabels, ncons = struct.unpack_from(
+        "<IIIIQI", hdr, 4 + n8
+    )
+    body = sections[2]
+    pos = 0
+    constraints = []
+    for _ in range(ncons):
+        terms = []
+        for _m in range(3):
+            (cnt,) = struct.unpack_from("<I", body, pos)
+            pos += 4
+            d = {}
+            for _t in range(cnt):
+                (wire,) = struct.unpack_from("<I", body, pos)
+                pos += 4
+                d[wire] = int.from_bytes(body[pos : pos + n8], "little")
+                pos += n8
+            terms.append(d)
+        constraints.append(tuple(terms))
+    return {
+        "prime": prime,
+        "num_wires": nw,
+        "num_public_out": npubout,
+        "num_public_in": npubin,
+        "num_constraints": ncons,
+        "constraints": constraints,
+    }
+
+
 def proof_to_snarkjs(proof) -> dict:
     """(A, B2, C) host affine points -> snarkjs proof.json dict."""
     a, b2, c = proof
@@ -73,6 +178,35 @@ def proof_to_snarkjs(proof) -> dict:
         "pi_c": [str(c[0]), str(c[1]), "1"],
         "protocol": "groth16",
         "curve": "bn128",
+    }
+
+
+def vk_to_snarkjs(vk) -> dict:
+    """VerifyingKey -> snarkjs verification_key.json dict (groth16/bn128).
+
+    Emits the group elements snarkjs' groth16 verifier actually consumes
+    (vk_alpha_1/vk_beta_2/vk_gamma_2/vk_delta_2/IC); the redundant
+    precomputed vk_alphabeta_12 field is omitted."""
+
+    def enc1(p):
+        return [str(p[0]), str(p[1]), "1"]
+
+    def enc2(p):
+        return [
+            [str(p[0][0]), str(p[0][1])],
+            [str(p[1][0]), str(p[1][1])],
+            ["1", "0"],
+        ]
+
+    return {
+        "protocol": "groth16",
+        "curve": "bn128",
+        "nPublic": len(vk.ic) - 1,
+        "vk_alpha_1": enc1(vk.alpha1),
+        "vk_beta_2": enc2(vk.beta2),
+        "vk_gamma_2": enc2(vk.gamma2),
+        "vk_delta_2": enc2(vk.delta2),
+        "IC": [enc1(p) for p in vk.ic],
     }
 
 
