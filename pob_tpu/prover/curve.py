@@ -119,6 +119,20 @@ class Fq2Ops:
         return jnp.stack([c0, c1], axis=-2)
 
     @staticmethod
+    def inv(a):
+        # 1/(c0 + c1 u) = (c0 - c1 u) / (c0^2 + c1^2) over Fq[u]/(u^2+1)
+        c0, c1 = a[..., 0, :], a[..., 1, :]
+        norm = limb.add(FQ, limb.mont_sqr(FQ, c0), limb.mont_sqr(FQ, c1))
+        ninv = limb.inv_mont(FQ, norm)
+        return jnp.stack(
+            [
+                limb.mont_mul(FQ, c0, ninv),
+                limb.mont_mul(FQ, limb.neg(FQ, c1), ninv),
+            ],
+            axis=-2,
+        )
+
+    @staticmethod
     def from_ints(c0: int, c1: int):
         return jnp.asarray(
             np.stack([limb.int_to_limbs(c0 * _R % FQ_MOD), limb.int_to_limbs(c1 * _R % FQ_MOD)])
@@ -300,3 +314,21 @@ def g2_points_to_device(points) -> tuple:
         jnp.asarray(limb.ints_to_limbs([v for p_ in ys for v in p_]).reshape(shape)),
         jnp.asarray(limb.ints_to_limbs([v for p_ in zs for v in p_]).reshape(shape)),
     )
+
+
+def affine_mont_batch(ops_name: str, p):
+    """Device Jacobian batch -> (x_aff, y_aff, inf_mask), coordinates affine
+    in Montgomery form. One batched field inversion per point (elementwise
+    Fermat pow — fully parallel over the batch). Used by the .zkey exporter,
+    whose point encoding is exactly Montgomery LE bytes."""
+    ops = FqOps if ops_name == "fq" else Fq2Ops
+    x, y, z = p
+    batch_shape = z.shape[: -len(ops.coord_shape)]
+    inf = ops.is_zero(z)
+    zsafe = ops.select(inf, ops.one(batch_shape), z)
+    zinv = ops.inv(zsafe)
+    zinv2 = ops.sqr(zinv)
+    xa = ops.mul(x, zinv2)
+    ya = ops.mul(y, ops.mul(zinv2, zinv))
+    zero = ops.zeros(batch_shape)
+    return ops.select(inf, zero, xa), ops.select(inf, zero, ya), inf

@@ -6,8 +6,16 @@ native to the framework: QAP evaluations and the toxic-waste polynomial
 evaluations happen host-side once per circuit, every per-proof computation
 (sparse A/B/C matvecs, NTT/coset division for h(x), all MSMs) runs on device.
 
-Proof system follows Groth16 exactly (and snarkjs conventions for wire
-ordering: [1, publics..., privates...]):
+Proof system follows Groth16 exactly, in snarkjs's conventions so proving
+keys round-trip through the .zkey format (serialize.write_zkey/read_zkey):
+wire ordering [1, publics..., privates...]; nPublic+1 extra binding rows
+appended to the A matrix (one per public wire, coefficient 1) so the public
+u_i(tau) are linearly independent; C evaluations on the domain computed
+pointwise as A.B (identical polynomial for satisfying witnesses, one sparse
+matvec cheaper); and the h-MSM basis is the *coset-Lagrange* basis
+H_j = [ x_j (tau^{2n} - 1) / (2 n delta (tau - x_j)) ]_1 over the coset
+x_j = w_{2n} w_n^j, so the prover MSMs the coset evaluations of A.B - C
+directly — no division by Z, no inverse transform back to coefficients:
   A = alpha + sum w_i u_i(tau) + r delta
   B = beta  + sum w_i v_i(tau) + s delta
   C = sum_priv w_i (beta u_i + alpha v_i + w_i)/delta + h(tau) Z(tau)/delta
@@ -67,8 +75,9 @@ class ProvingKey:
     b1_query: tuple
     b2_query: tuple  # device Jacobian G2 (nw,)
     l_query: tuple  # device Jacobian (nw - num_public - 1,)
-    h_query: tuple  # device Jacobian (n - 1,)
-    # device COO matrices: (rows i32, cols i32, coeffs MontMont (nnz,16))
+    h_query: tuple  # device Jacobian (n,), coset-Lagrange basis (snarkjs)
+    # device COO matrices (A with binding rows, B):
+    # (rows i32, cols i32, coeffs c*R^2 (nnz,16))
     mats: tuple
 
 
@@ -246,14 +255,36 @@ def _setup_scalars_kernel(npub: int, u, v, w, beta_m, alpha_m, ginv_m, dinv_m):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _h_scalars_kernel(n: int, tau_m, mult):
-    """tau^j * Z(tau) * delta^{-1} for j in [0, n-1), canonical limbs."""
-    return limb.mont_mul(FRS, limb.mont_powers_mont(FRS, tau_m, n - 1), mult)
+def _h_scalars_kernel(k: int, tau_m, s_m, mult):
+    """snarkjs coset-Lagrange h basis: x_j (tau^{2n}-1) / (2 n delta (tau-x_j))
+    for x_j = s w^j, j in [0, n), canonical limbs. `mult` carries the scalar
+    constant (tau^{2n}-1)/(2 n delta) in plain (non-Montgomery) form."""
+    n = 1 << k
+    w_m = jnp.asarray(limb.int_to_limbs(ntt.domain_root(k) * _R % FR_MOD))
+    x = limb.mont_mul(FRS, limb.mont_powers_mont(FRS, w_m, n), s_m)
+    denoms = limb.sub(FRS, jnp.broadcast_to(tau_m, x.shape), x)
+    invs = limb.batch_inv_mont_scan(FRS, denoms)
+    return limb.mont_mul(FRS, limb.mont_mul(FRS, x, invs), mult)
 
 
-def _mats_to_device(cs: ConstraintSystem):
+def snarkjs_matrices(cs: ConstraintSystem):
+    """(A, B) host COOs in snarkjs layout: the A matrix gains nPublic+1
+    binding rows (row m+i: 1 * wire_i), coefficient 1, B side zero — trivially
+    satisfied, but they make the public-wire u_i(tau) linearly independent
+    (snarkjs zkey_new does the same). The C matrix is not needed by the
+    prover: on the domain its evaluations equal A.B pointwise."""
+    ma, mb, _mc = cs.matrices()
+    rows, cols, coeffs = ma
+    extra = np.arange(cs.num_public + 1, dtype=np.int64)
+    rows = np.concatenate([rows, cs.num_constraints + extra])
+    cols = np.concatenate([cols, extra])
+    coeffs = list(coeffs) + [1] * (cs.num_public + 1)
+    return (rows, cols, coeffs), mb
+
+
+def _mats_to_device(host_mats):
     out = []
-    for coo in cs.matrices():
+    for coo in host_mats:
         rows, cols, coeffs = coo
         # coeffs stored as c * R^2 so mont_mul(coeff, canonical_w) lands in
         # Montgomery form directly
@@ -267,20 +298,20 @@ def setup(cs: ConstraintSystem, rng=None) -> tuple[ProvingKey, VerifyingKey]:
     self-verification; production would use a ceremony)."""
     rnd = rng or (lambda: secrets.randbelow(FR_MOD - 1) + 1)
     tau, alpha, beta, gamma, delta = (rnd() for _ in range(5))
-    k = max(1, _next_pow2(cs.num_constraints))
+    npub = cs.num_public
+    k = max(1, _next_pow2(cs.num_constraints + npub + 1))
     n = 1 << k
     nw = cs.num_wires
-    npub = cs.num_public
 
     lag = _lagrange_at_tau_mont_dev(k, tau)
-    mats = cs.matrices()
-    u_tau = _poly_evals_dev(mats[0], lag, nw)  # (nw, 16) canonical, device
-    v_tau = _poly_evals_dev(mats[1], lag, nw)
-    w_tau = _poly_evals_dev(mats[2], lag, nw)
+    mat_a, mat_b = snarkjs_matrices(cs)
+    mat_c = cs.matrices()[2]
+    u_tau = _poly_evals_dev(mat_a, lag, nw)  # (nw, 16) canonical, device
+    v_tau = _poly_evals_dev(mat_b, lag, nw)
+    w_tau = _poly_evals_dev(mat_c, lag, nw)
 
     gamma_inv = _inv(gamma)
     delta_inv = _inv(delta)
-    zt = (pow(tau, n, FR_MOD) - 1) % FR_MOD
 
     def const(c):  # constant pre-scaled by R so mont_mul(x, cR) = x c
         return jnp.asarray(limb.int_to_limbs(c * _R % FR_MOD))
@@ -289,8 +320,11 @@ def setup(cs: ConstraintSystem, rng=None) -> tuple[ProvingKey, VerifyingKey]:
         npub, u_tau, v_tau, w_tau, const(beta), const(alpha),
         const(gamma_inv), const(delta_inv),
     )
+    s = ntt.domain_root(k + 1)  # coset shift w_{2n}: s^n = -1
+    c0 = (pow(tau, 2 * n, FR_MOD) - 1) * _inv(2 * n % FR_MOD) % FR_MOD
+    c0 = c0 * delta_inv % FR_MOD
     h_scalars = _h_scalars_kernel(
-        n, const(tau), jnp.asarray(limb.int_to_limbs(zt * delta_inv % FR_MOD))
+        k, const(tau), const(s), jnp.asarray(limb.int_to_limbs(c0))
     )
 
     a_query = _fixed_base("g1", u_tau)
@@ -314,7 +348,7 @@ def setup(cs: ConstraintSystem, rng=None) -> tuple[ProvingKey, VerifyingKey]:
         b2_query=b2_query,
         l_query=l_query,
         h_query=h_query,
-        mats=_mats_to_device(cs),
+        mats=_mats_to_device((mat_a, mat_b)),
     )
     vk = VerifyingKey(
         alpha1=pk.alpha1,
@@ -346,29 +380,25 @@ def sparse_matvec_mont(mat, witness, n: int):
 
 
 def _compute_h_traced(k: int, mats, witness):
-    """QAP division: h coefficients (n-1, 16) canonical limbs (trace-time)."""
+    """Coset evaluations of A.B - C (snarkjs h-MSM operand): (n, 16) canonical
+    limbs, evaluated on the coset x_j = w_{2n} w_n^j. C on the domain is the
+    pointwise product A.B (equal as polynomials for a satisfying witness), so
+    only two sparse matvecs and 6 transforms are needed; the constant
+    1/Z(coset) = -1/2 and the Lagrange->tau weights live in the H points."""
     n = 1 << k
     aw = sparse_matvec_mont(mats[0], witness, n)
     bw = sparse_matvec_mont(mats[1], witness, n)
-    cw = sparse_matvec_mont(mats[2], witness, n)
-    ia = ntt.intt(aw, k)
-    ib = ntt.intt(bw, k)
-    ic_ = ntt.intt(cw, k)
-    ea = ntt.coeffs_to_coset_evals(ia, k)
-    eb = ntt.coeffs_to_coset_evals(ib, k)
-    ec = ntt.coeffs_to_coset_evals(ic_, k)
-    zinv = pow(ntt.z_on_coset(k), FR_MOD - 2, FR_MOD) * _R % FR_MOD
-    h_evals = limb.mont_mul(
-        FRS,
-        limb.sub(FRS, limb.mont_mul(FRS, ea, eb), ec),
-        jnp.asarray(limb.int_to_limbs(zinv)),
-    )
-    h_coeffs = ntt.coset_evals_to_coeffs(h_evals, k)
-    return limb.from_mont(FRS, h_coeffs[: n - 1])
+    cw = limb.mont_mul(FRS, aw, bw)
+    shift = ntt.domain_root(k + 1)
+    ea = ntt.coeffs_to_coset_evals(ntt.intt(aw, k), k, shift)
+    eb = ntt.coeffs_to_coset_evals(ntt.intt(bw, k), k, shift)
+    ec = ntt.coeffs_to_coset_evals(ntt.intt(cw, k), k, shift)
+    h_evals = limb.sub(FRS, limb.mont_mul(FRS, ea, eb), ec)
+    return limb.from_mont(FRS, h_evals)
 
 
 def compute_h(pk: ProvingKey, witness):
-    """QAP division: h coefficients (n-1, 16) canonical limbs."""
+    """Coset evaluations of A.B - C: (n, 16) canonical limbs."""
     return _compute_h_traced(pk.k, pk.mats, witness)
 
 
@@ -459,3 +489,77 @@ def verify(vk: VerifyingKey, proof, public_inputs) -> bool:
             (C, vk.delta2),
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# snarkjs .zkey ingestion
+# ---------------------------------------------------------------------------
+
+
+def _affine_limbs_to_jac(arr, g2: bool = False):
+    """(m, 2|4, 16) Montgomery affine limb array (all-zero = infinity) ->
+    device Jacobian point arrays."""
+    from ..field.ref import FQ_MOD
+
+    arr = np.asarray(arr, np.uint32)
+    m = arr.shape[0]
+    inf = (arr == 0).all(axis=(1, 2))
+    r_q = limb.int_to_limbs((1 << 256) % FQ_MOD)
+    if g2:
+        x = arr[:, 0:2, :]
+        y = arr[:, 2:4, :]
+        z = np.zeros((m, 2, limb.L), np.uint32)
+        z[:, 0, :] = r_q
+        z[inf] = 0
+    else:
+        x = arr[:, 0, :]
+        y = arr[:, 1, :]
+        z = np.broadcast_to(r_q, (m, limb.L)).copy()
+        z[inf] = 0
+    return (jnp.asarray(x), jnp.asarray(y), jnp.asarray(z))
+
+
+def load_zkey(path: str) -> tuple[ProvingKey, VerifyingKey]:
+    """Build a device ProvingKey (+ VerifyingKey) from a snarkjs .zkey file,
+    the format the reference's downstream Groth16 pipeline uses
+    (circuitscan.yml:27-39 delegates to snarkjs; SURVEY.md §2.8)."""
+    from .serialize import read_zkey
+
+    d = read_zkey(path)
+    k = _next_pow2(d["domain_size"])
+    assert (1 << k) == d["domain_size"], "domain size must be a power of two"
+
+    mats = []
+    for midx in (0, 1):
+        rows, cols, vals = d["coeffs"][midx]
+        mats.append(
+            (
+                np.asarray(rows, np.int64),
+                np.asarray(cols, np.int64),
+                [int(v) for v in vals],
+            )
+        )
+
+    pk = ProvingKey(
+        k=k,
+        num_public=d["n_public"],
+        alpha1=d["alpha1"],
+        beta1=d["beta1"],
+        delta1=d["delta1"],
+        beta2=d["beta2"],
+        delta2=d["delta2"],
+        a_query=_affine_limbs_to_jac(d["a_pts"]),
+        b1_query=_affine_limbs_to_jac(d["b1_pts"]),
+        b2_query=_affine_limbs_to_jac(d["b2_pts"], g2=True),
+        l_query=_affine_limbs_to_jac(d["c_pts"]),
+        h_query=_affine_limbs_to_jac(d["h_pts"]),
+        mats=_mats_to_device(mats),
+    )
+    vk = VerifyingKey(
+        alpha1=d["alpha1"],
+        beta2=d["beta2"],
+        gamma2=d["gamma2"],
+        delta2=d["delta2"],
+        ic=d["ic"],
+    )
+    return pk, vk

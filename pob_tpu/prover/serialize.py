@@ -225,3 +225,245 @@ def write_proof(path: str, proof, public_inputs):
         json.dump(proof_to_snarkjs(proof), f, indent=1)
     with open(path.replace("proof", "public"), "w") as f:
         json.dump([str(x) for x in public_inputs], f, indent=1)
+
+
+# ---------------------------------------------------------------------------
+# snarkjs .zkey (Groth16 proving key) — binary format compatibility
+# ---------------------------------------------------------------------------
+#
+# Layout (zkey version 1, protocol groth16), all integers LE, field elements
+# stored as n8-byte LE *Montgomery* representations (R = 2^256):
+#   section 1: prover type (u32 = 1)
+#   section 2: n8q, q, n8r, r, nVars, nPublic, domainSize,
+#              alpha1 beta1 (G1) beta2 gamma2 (G2) delta1 (G1) delta2 (G2)
+#   section 3: IC            (nPublic+1 G1)
+#   section 4: coefficients  u32 count, then {u32 m, u32 c, u32 s, Fr value}
+#   section 5: A points      (nVars G1)
+#   section 6: B1 points     (nVars G1)
+#   section 7: B2 points     (nVars G2)
+#   section 8: C points      (nVars - nPublic - 1 G1)
+#   section 9: H points      (domainSize G1, coset-Lagrange basis)
+#   section 10: contributions (empty)
+# The H basis and the A-matrix public-binding rows follow the snarkjs
+# conventions documented in prover/groth16.py.
+
+_ZKEY_MAGIC = b"zkey"
+
+
+def _mont_bytes_fq(v: int) -> bytes:
+    from ..field.ref import FQ_MOD
+
+    return (v * ((1 << 256) % FQ_MOD) % FQ_MOD).to_bytes(32, "little")
+
+
+def _g1_bytes(pt) -> bytes:
+    if pt is None:
+        return b"\0" * 64
+    return _mont_bytes_fq(pt[0]) + _mont_bytes_fq(pt[1])
+
+
+def _g2_bytes(pt) -> bytes:
+    if pt is None:
+        return b"\0" * 128
+    (x0, x1), (y0, y1) = pt
+    return b"".join(_mont_bytes_fq(v) for v in (x0, x1, y0, y1))
+
+
+def _limb_arr_bytes(a) -> bytes:
+    """(m, ..., 16) uint32 Montgomery limb array -> packed LE bytes."""
+    import numpy as np
+
+    return np.ascontiguousarray(np.asarray(a)).astype("<u2").tobytes()
+
+
+def _device_g1_section(points, chunk: int = 1 << 17) -> bytes:
+    """Device Jacobian G1 batch -> zkey G1 point bytes (affine Montgomery)."""
+    import numpy as np
+
+    from . import curve
+
+    m = int(points[0].shape[0])
+    out = []
+    for i in range(0, m, chunk):
+        p = tuple(c[i : i + chunk] for c in points)
+        x, y, _inf = curve.affine_mont_batch("fq", p)
+        xy = np.stack([np.asarray(x), np.asarray(y)], axis=1)  # (c, 2, 16)
+        out.append(_limb_arr_bytes(xy))
+    return b"".join(out)
+
+
+def _device_g2_section(points, chunk: int = 1 << 16) -> bytes:
+    import numpy as np
+
+    from . import curve
+
+    m = int(points[0].shape[0])
+    out = []
+    for i in range(0, m, chunk):
+        p = tuple(c[i : i + chunk] for c in points)
+        x, y, _inf = curve.affine_mont_batch("fq2", p)
+        xy = np.concatenate([np.asarray(x), np.asarray(y)], axis=1)  # (c, 4, 16)
+        out.append(_limb_arr_bytes(xy))
+    return b"".join(out)
+
+
+def write_zkey(path: str, pk, vk, cs):
+    """Write a snarkjs-format Groth16 .zkey from a ProvingKey/VerifyingKey
+    produced by groth16.setup (whose H basis and coefficient layout follow the
+    snarkjs conventions, so a stock snarkjs prover can consume the file)."""
+    from ..field.ref import FQ_MOD
+    from .groth16 import snarkjs_matrices
+
+    _R_FR = (1 << 256) % FR_MOD
+    nvars = cs.num_wires
+    npub = cs.num_public
+    n8 = 32
+
+    mat_a, mat_b = snarkjs_matrices(cs)
+    coeff_body = [struct.pack("<I", sum(len(m[2]) for m in (mat_a, mat_b)))]
+    for midx, (rows, cols, coeffs) in enumerate((mat_a, mat_b)):
+        for r, c_, v in zip(rows, cols, coeffs):
+            coeff_body.append(struct.pack("<III", midx, int(r), int(c_)))
+            coeff_body.append((int(v) * _R_FR % FR_MOD).to_bytes(n8, "little"))
+
+    header = (
+        struct.pack("<I", n8)
+        + FQ_MOD.to_bytes(n8, "little")
+        + struct.pack("<I", n8)
+        + FR_MOD.to_bytes(n8, "little")
+        + struct.pack("<III", nvars, npub, 1 << pk.k)
+        + _g1_bytes(pk.alpha1)
+        + _g1_bytes(pk.beta1)
+        + _g2_bytes(pk.beta2)
+        + _g2_bytes(vk.gamma2)
+        + _g1_bytes(pk.delta1)
+        + _g2_bytes(pk.delta2)
+    )
+
+    sections = [
+        (1, struct.pack("<I", 1)),
+        (2, header),
+        (3, b"".join(_g1_bytes(p) for p in vk.ic)),
+        (4, b"".join(coeff_body)),
+        (5, _device_g1_section(pk.a_query)),
+        (6, _device_g1_section(pk.b1_query)),
+        (7, _device_g2_section(pk.b2_query)),
+        (8, _device_g1_section(pk.l_query)),
+        (9, _device_g1_section(pk.h_query)),
+        (10, b""),
+    ]
+    with open(path, "wb") as f:
+        f.write(_ZKEY_MAGIC)
+        f.write(struct.pack("<II", 1, len(sections)))
+        for sid, body in sections:
+            f.write(struct.pack("<iq", sid, len(body)))
+            f.write(body)
+
+
+def read_zkey(path: str) -> dict:
+    """Parse a snarkjs Groth16 .zkey -> raw materials: header ints, canonical
+    host points for the small elements, and Montgomery limb arrays (numpy
+    uint32 (m, ..., 16)) for the big query sections."""
+    import numpy as np
+
+    from ..field.ref import FQ_MOD
+
+    rinv_q = pow((1 << 256) % FQ_MOD, FQ_MOD - 2, FQ_MOD)
+    rinv_r = pow((1 << 256) % FR_MOD, FR_MOD - 2, FR_MOD)
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:4] == _ZKEY_MAGIC, "bad zkey magic"
+    _version, n_sections = struct.unpack_from("<II", data, 4)
+    off = 12
+    sections = {}
+    for _ in range(n_sections):
+        sid, slen = struct.unpack_from("<iq", data, off)
+        off += 12
+        sections[sid] = data[off : off + slen]
+        off += slen
+
+    (proto,) = struct.unpack_from("<I", sections[1], 0)
+    assert proto == 1, "not a groth16 zkey"
+    hdr = sections[2]
+    pos = 0
+    (n8q,) = struct.unpack_from("<I", hdr, pos); pos += 4
+    q = int.from_bytes(hdr[pos : pos + n8q], "little"); pos += n8q
+    (n8r,) = struct.unpack_from("<I", hdr, pos); pos += 4
+    r = int.from_bytes(hdr[pos : pos + n8r], "little"); pos += n8r
+    nvars, npub, domain = struct.unpack_from("<III", hdr, pos); pos += 12
+    assert q == FQ_MOD and r == FR_MOD and n8q == 32 and n8r == 32
+
+    def fq(b):
+        return int.from_bytes(b, "little") * rinv_q % FQ_MOD
+
+    def g1(buf, i):
+        x = fq(buf[i * 64 : i * 64 + 32])
+        y = fq(buf[i * 64 + 32 : i * 64 + 64])
+        return None if x == 0 and y == 0 else (x, y)
+
+    def g2(buf, i):
+        v = [fq(buf[i * 128 + 32 * j : i * 128 + 32 * (j + 1)]) for j in range(4)]
+        if all(c == 0 for c in v):
+            return None
+        return ((v[0], v[1]), (v[2], v[3]))
+
+    alpha1 = g1(hdr[pos:], 0); pos += 64
+    beta1 = g1(hdr[pos:], 0); pos += 64
+    beta2 = g2(hdr[pos:], 0); pos += 128
+    gamma2 = g2(hdr[pos:], 0); pos += 128
+    delta1 = g1(hdr[pos:], 0); pos += 64
+    delta2 = g2(hdr[pos:], 0); pos += 128
+
+    ic = [g1(sections[3], i) for i in range(len(sections[3]) // 64)]
+
+    cb = sections[4]
+    (ncoef,) = struct.unpack_from("<I", cb, 0)
+    pos4 = 4
+    coeffs = {0: ([], [], []), 1: ([], [], [])}
+    for _ in range(ncoef):
+        m, c_, s = struct.unpack_from("<III", cb, pos4)
+        pos4 += 12
+        v = int.from_bytes(cb[pos4 : pos4 + 32], "little") * rinv_r % FR_MOD
+        pos4 += 32
+        coeffs[m][0].append(c_)
+        coeffs[m][1].append(s)
+        coeffs[m][2].append(v)
+
+    def limbs(buf, per_point):
+        a = np.frombuffer(buf, "<u2").astype(np.uint32)
+        return a.reshape(-1, per_point, 16)
+
+    return {
+        "n_vars": nvars,
+        "n_public": npub,
+        "domain_size": domain,
+        "alpha1": alpha1, "beta1": beta1, "beta2": beta2,
+        "gamma2": gamma2, "delta1": delta1, "delta2": delta2,
+        "ic": ic,
+        "coeffs": coeffs,  # {matrix: (rows, cols, canonical values)}
+        "a_pts": limbs(sections[5], 2),
+        "b1_pts": limbs(sections[6], 2),
+        "b2_pts": limbs(sections[7], 4),
+        "c_pts": limbs(sections[8], 2),
+        "h_pts": limbs(sections[9], 2),
+    }
+
+
+def snarkjs_to_vk(d: dict):
+    """snarkjs verification_key.json dict -> VerifyingKey."""
+    from .groth16 import VerifyingKey
+
+    def dec1(v):
+        return (int(v[0]), int(v[1]))
+
+    def dec2(v):
+        return ((int(v[0][0]), int(v[0][1])), (int(v[1][0]), int(v[1][1])))
+
+    return VerifyingKey(
+        alpha1=dec1(d["vk_alpha_1"]),
+        beta2=dec2(d["vk_beta_2"]),
+        gamma2=dec2(d["vk_gamma_2"]),
+        delta2=dec2(d["vk_delta_2"]),
+        ic=[dec1(p) for p in d["IC"]],
+    )

@@ -53,3 +53,22 @@ def test_groth16_toy_different_witness_same_statement():
     assert cs.check_witness(w)
     proof = groth16.prove(pk, limb.ints_to_limbs(w))
     assert groth16.verify(vk, proof, pub)
+
+
+def test_groth16_zkey_roundtrip(tmp_path):
+    """setup -> write_zkey -> load_zkey -> prove with the loaded key ->
+    verify with the loaded vk (and cross-verify against the original vk)."""
+    from pob_tpu.prover import serialize
+
+    cs = toy_cs()
+    pk, vk = groth16.setup(cs)
+    path = str(tmp_path / "toy.zkey")
+    serialize.write_zkey(path, pk, vk, cs)
+
+    pk2, vk2 = groth16.load_zkey(path)
+    assert pk2.k == pk.k and pk2.num_public == cs.num_public
+    w, pub = toy_witness(31337, 271828)
+    proof = groth16.prove(pk2, limb.ints_to_limbs(w), r=7, s=11)
+    assert groth16.verify(vk2, proof, pub), "proof from loaded zkey must verify"
+    assert groth16.verify(vk, proof, pub), "original vk must accept it too"
+    assert not groth16.verify(vk2, proof, [pub[0], (pub[1] + 3) % FR_MOD])
