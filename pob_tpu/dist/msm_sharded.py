@@ -14,9 +14,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from ..prover import curve, msm
+from .mesh import shard_map_norep
 
 
 def msm_sharded(mesh: Mesh, ops, points, scalars, axis: str = "data"):
@@ -25,7 +25,7 @@ def msm_sharded(mesh: Mesh, ops, points, scalars, axis: str = "data"):
     coord = P(axis, *([None] * (points[0].ndim - 1)))
 
     @partial(
-        shard_map,
+        shard_map_norep,
         mesh=mesh,
         in_specs=(coord, coord, coord, P(axis, None)),
         out_specs=(P(), P(), P()),
