@@ -9,6 +9,7 @@ negligible next to the local work)."""
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -19,11 +20,16 @@ from ..prover import curve, msm
 from .mesh import shard_map_norep
 
 
-def msm_sharded(mesh: Mesh, ops, points, scalars, axis: str = "data"):
-    """points: Jacobian arrays with leading axis m (divisible by mesh size);
-    scalars: (m, 16). Returns a single Jacobian point (replicated)."""
-    coord = P(axis, *([None] * (points[0].ndim - 1)))
+@functools.lru_cache(maxsize=None)
+def _sharded_body(mesh: Mesh, ops, axis: str, coord_ndim: int):
+    """jitted shard_map MSM body, cached per (mesh, ops, axis, point rank).
 
+    The outer jax.jit is essential: an un-jitted shard_map runs its body
+    eagerly, dispatching every primitive as its own 8-way SPMD pjit compile
+    (minutes of XLA time); under jit the whole MSM is one program."""
+    coord = P(axis, *([None] * (coord_ndim - 1)))
+
+    @jax.jit
     @partial(
         shard_map_norep,
         mesh=mesh,
@@ -40,6 +46,13 @@ def msm_sharded(mesh: Mesh, ops, points, scalars, axis: str = "data"):
         total = curve.tree_reduce(ops, parts)
         return tuple(c[None] for c in total)
 
+    return body
+
+
+def msm_sharded(mesh: Mesh, ops, points, scalars, axis: str = "data"):
+    """points: Jacobian arrays with leading axis m (divisible by mesh size);
+    scalars: (m, 16). Returns a single Jacobian point (replicated)."""
+    body = _sharded_body(mesh, ops, axis, points[0].ndim)
     out = body(points[0], points[1], points[2], scalars)
     return tuple(c[0] for c in out)
 

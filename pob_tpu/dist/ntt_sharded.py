@@ -45,16 +45,14 @@ def _outer_twiddle(k1: int, k2: int, inverse: bool):
     return tbl
 
 
-def ntt_sharded(mesh: Mesh, a, k1: int, k2: int, axis: str = "data"):
-    """a: (N1*N2, 16) Montgomery limbs, natural order, sharded (or shardable)
-    on the mesh. Returns C of shape (N1, N2, 16) sharded along axis 0 with
-    X[k2*N1 + k1] = C[k1, k2]."""
+@functools.lru_cache(maxsize=None)
+def _ntt_body(mesh: Mesh, k1: int, k2: int, axis: str):
+    """jitted shard_map four-step NTT body (jit is essential: an un-jitted
+    shard_map dispatches each primitive as its own SPMD compile)."""
     n1, n2 = 1 << k1, 1 << k2
     ndev = mesh.shape[axis]
-    assert n2 % ndev == 0 and n1 % ndev == 0
-    a_mat = a.reshape(n1, n2, limb.L)
-    twiddle = jnp.asarray(_outer_twiddle(k1, k2, False))
 
+    @jax.jit
     @partial(
         shard_map,
         mesh=mesh,
@@ -74,7 +72,19 @@ def ntt_sharded(mesh: Mesh, a, k1: int, k2: int, axis: str = "data"):
         # step 4: NTT over n2 rows
         return ntt.ntt(b, k2)
 
-    return body(a_mat, twiddle)
+    return body
+
+
+def ntt_sharded(mesh: Mesh, a, k1: int, k2: int, axis: str = "data"):
+    """a: (N1*N2, 16) Montgomery limbs, natural order, sharded (or shardable)
+    on the mesh. Returns C of shape (N1, N2, 16) sharded along axis 0 with
+    X[k2*N1 + k1] = C[k1, k2]."""
+    n1, n2 = 1 << k1, 1 << k2
+    ndev = mesh.shape[axis]
+    assert n2 % ndev == 0 and n1 % ndev == 0
+    a_mat = a.reshape(n1, n2, limb.L)
+    twiddle = jnp.asarray(_outer_twiddle(k1, k2, False))
+    return _ntt_body(mesh, k1, k2, axis)(a_mat, twiddle)
 
 
 def untranspose_host(c) -> np.ndarray:

@@ -441,17 +441,23 @@ def _single_scalar_mul(ops, point_host, scalar: int):
 def prove(pk: ProvingKey, witness_limbs, r: int | None = None, s: int | None = None):
     """witness_limbs: (num_wires, 16) canonical limbs with w[0] == 1.
     Returns (proof_a, proof_b, proof_c) as host affine points."""
+    w = jnp.asarray(witness_limbs)
+
+    sums = _prove_kernel(
+        pk.k, pk.num_public, pk.mats, pk.a_query, pk.b1_query, pk.b2_query,
+        pk.l_query, pk.h_query, w,
+    )
+    return finish_proof(pk, sums, r, s)
+
+
+def finish_proof(pk: ProvingKey, sums, r: int | None = None, s: int | None = None):
+    """Host-side tail of prove(): fold the five device MSM sums with the
+    blinding scalars r, s into the final (A, B2, C) affine proof points."""
     if r is None:
         r = secrets.randbelow(FR_MOD)
     if s is None:
         s = secrets.randbelow(FR_MOD)
-    w = jnp.asarray(witness_limbs)
-    npub = pk.num_public
-
-    a_sum, b1_sum, b2_sum, c_l, c_h = _prove_kernel(
-        pk.k, npub, pk.mats, pk.a_query, pk.b1_query, pk.b2_query,
-        pk.l_query, pk.h_query, w,
-    )
+    a_sum, b1_sum, b2_sum, c_l, c_h = sums
 
     # host-side small combinations
     def aff1(p):
