@@ -75,18 +75,31 @@ class Fq2Ops:
 
     @staticmethod
     def mul(a, b):
+        # Karatsuba with the three Fq products STACKED into one batched
+        # mont_mul: a single widening-conv subgraph instead of three. This
+        # keeps the traced HLO for G2 point formulas the same size as G1's,
+        # which matters for XLA compile time (the unstacked form tripled the
+        # instruction count and sent XLA:CPU's passes superlinear).
         a0, a1 = a[..., 0, :], a[..., 1, :]
         b0, b1 = b[..., 0, :], b[..., 1, :]
-        t0 = limb.mont_mul(FQ, a0, b0)
-        t1 = limb.mont_mul(FQ, a1, b1)
-        t2 = limb.mont_mul(FQ, limb.add(FQ, a0, a1), limb.add(FQ, b0, b1))
+        am = jnp.stack([a0, a1, limb.add(FQ, a0, a1)], axis=-2)
+        bm = jnp.stack([b0, b1, limb.add(FQ, b0, b1)], axis=-2)
+        t = limb.mont_mul(FQ, am, bm)  # (..., 3, 16)
+        t0, t1, t2 = t[..., 0, :], t[..., 1, :], t[..., 2, :]
         c0 = limb.sub(FQ, t0, t1)
         c1 = limb.sub(FQ, limb.sub(FQ, t2, t0), t1)
         return jnp.stack([c0, c1], axis=-2)
 
     @staticmethod
     def sqr(a):
-        return Fq2Ops.mul(a, a)
+        # (c0 + c1 u)^2: c0' = (c0+c1)(c0-c1), c1' = 2 c0 c1 — two stacked muls
+        a0, a1 = a[..., 0, :], a[..., 1, :]
+        am = jnp.stack([limb.add(FQ, a0, a1), a0], axis=-2)
+        bm = jnp.stack([limb.sub(FQ, a0, a1), a1], axis=-2)
+        t = limb.mont_mul(FQ, am, bm)
+        c0 = t[..., 0, :]
+        c1 = limb.add(FQ, t[..., 1, :], t[..., 1, :])
+        return jnp.stack([c0, c1], axis=-2)
 
     @staticmethod
     def add(a, b):
@@ -139,21 +152,42 @@ class Fq2Ops:
         )
 
 
+def _stack(ops, elems):
+    return jnp.stack(elems, axis=-(len(ops.coord_shape) + 1))
+
+
+def _unstack(ops, arr, n: int):
+    ax = arr.ndim - len(ops.coord_shape) - 1
+    return [jnp.take(arr, i, axis=ax) for i in range(n)]
+
+
+def mul_many(ops, pairs):
+    """Independent field products stacked into ONE batched mul: fewer, larger
+    kernels — smaller traced HLO (XLA compile time on the G2/Fq2 formulas was
+    superlinear in instruction count) and better MXU utilization for the limb
+    conv matmul on TPU."""
+    out = ops.mul(_stack(ops, [a for a, _ in pairs]), _stack(ops, [b for _, b in pairs]))
+    return _unstack(ops, out, len(pairs))
+
+
+def sqr_many(ops, elems):
+    out = ops.sqr(_stack(ops, elems))
+    return _unstack(ops, out, len(elems))
+
+
 def point_double(ops, p):
     """Jacobian doubling (a = 0 curve). Infinity-safe (Z=0 stays Z=0)."""
     x, y, z = p
-    a = ops.sqr(x)
-    b = ops.sqr(y)
-    c = ops.sqr(b)
-    t = ops.sqr(ops.add(x, b))
+    a, b = sqr_many(ops, [x, y])
+    c, t = sqr_many(ops, [b, ops.add(x, b)])
     d = ops.add(ops.sub(ops.sub(t, a), c), ops.sub(ops.sub(t, a), c))  # 2(t-a-c)
     e = ops.add(ops.add(a, a), a)  # 3a
     f = ops.sqr(e)
     x3 = ops.sub(f, ops.add(d, d))
     c8 = ops.add(ops.add(c, c), ops.add(c, c))
     c8 = ops.add(c8, c8)
-    y3 = ops.sub(ops.mul(e, ops.sub(d, x3)), c8)
-    z3 = ops.mul(ops.add(y, y), z)
+    y3m, z3 = mul_many(ops, [(e, ops.sub(d, x3)), (ops.add(y, y), z)])
+    y3 = ops.sub(y3m, c8)
     return (x3, y3, z3)
 
 
@@ -164,24 +198,21 @@ def point_add(ops, p, q):
     p_inf = ops.is_zero(z1)
     q_inf = ops.is_zero(z2)
 
-    z1z1 = ops.sqr(z1)
-    z2z2 = ops.sqr(z2)
-    u1 = ops.mul(x1, z2z2)
-    u2 = ops.mul(x2, z1z1)
-    s1 = ops.mul(ops.mul(y1, z2), z2z2)
-    s2 = ops.mul(ops.mul(y2, z1), z1z1)
+    z1z1, z2z2 = sqr_many(ops, [z1, z2])
+    u1, u2, t1, t2 = mul_many(
+        ops, [(x1, z2z2), (x2, z1z1), (y1, z2), (y2, z1)]
+    )
+    s1, s2 = mul_many(ops, [(t1, z2z2), (t2, z1z1)])
     h = ops.sub(u2, u1)
     r = ops.sub(s2, s1)
     h_zero = ops.is_zero(h)
     r_zero = ops.is_zero(r)
 
-    hh = ops.sqr(h)
-    hhh = ops.mul(h, hh)
-    v = ops.mul(u1, hh)
-    rr = ops.sqr(r)
+    hh, rr = sqr_many(ops, [h, r])
+    hhh, v, w = mul_many(ops, [(h, hh), (u1, hh), (z1, z2)])
     x3 = ops.sub(ops.sub(rr, hhh), ops.add(v, v))
-    y3 = ops.sub(ops.mul(r, ops.sub(v, x3)), ops.mul(s1, hhh))
-    z3 = ops.mul(ops.mul(z1, z2), h)
+    ya, yb, z3 = mul_many(ops, [(r, ops.sub(v, x3)), (s1, hhh), (w, h)])
+    y3 = ops.sub(ya, yb)
 
     dbl = point_double(ops, p)
     both = jnp.logical_and(jnp.logical_not(p_inf), jnp.logical_not(q_inf))

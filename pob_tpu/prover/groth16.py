@@ -227,10 +227,10 @@ def _poly_evals_dev(coo, lag_mont, nw: int):
     The 16-bit limbs of the Montgomery terms are split into 8-bit halves
     before summation so u32 accumulators stay exact for up to 2^24 terms per
     wire column (the constant-wire column of the prod PoB system has ~10^7)."""
-    rows, cols, coeffs = coo
-    if len(coeffs) == 0:
+    rows, cols, cidx, pal = coo
+    if len(cidx) == 0:
         return jnp.zeros((nw, limb.L), limb.U32)
-    cf = jnp.asarray(limb.ints_to_limbs(coeffs))
+    cf = jnp.asarray(limb.ints_to_limbs(pal)[np.asarray(cidx)])
     return _poly_kernel(
         nw,
         jnp.asarray(np.asarray(rows, np.int32)),
@@ -272,24 +272,52 @@ def snarkjs_matrices(cs: ConstraintSystem):
     binding rows (row m+i: 1 * wire_i), coefficient 1, B side zero — trivially
     satisfied, but they make the public-wire u_i(tau) linearly independent
     (snarkjs zkey_new does the same). The C matrix is not needed by the
-    prover: on the domain its evaluations equal A.B pointwise."""
-    ma, mb, _mc = cs.matrices()
-    rows, cols, coeffs = ma
+    prover: on the domain its evaluations equal A.B pointwise.
+
+    Returns COOs with materialized coefficient values (for serialization)."""
+    (ra, ca_, ia), (rb, cb, ib), _mc, pal = cs.matrices_indexed()
     extra = np.arange(cs.num_public + 1, dtype=np.int64)
-    rows = np.concatenate([rows, cs.num_constraints + extra])
-    cols = np.concatenate([cols, extra])
-    coeffs = list(coeffs) + [1] * (cs.num_public + 1)
-    return (rows, cols, coeffs), mb
+    rows = np.concatenate([ra, cs.num_constraints + extra])
+    cols = np.concatenate([ca_, extra])
+    coeffs = np.concatenate([pal[ia], np.ones(len(extra), dtype=object)])
+    return (rows, cols, coeffs), (rb, cb, pal[ib])
+
+
+def _indexed_matrices(cs: ConstraintSystem):
+    """(A+binding rows, B, C) as palette-indexed COOs (rows, cols, cidx, pal)."""
+    (ra, ca_, ia), mb, mc, pal = cs.matrices_indexed()
+    extra = np.arange(cs.num_public + 1, dtype=np.int64)
+    rows = np.concatenate([ra, cs.num_constraints + extra])
+    cols = np.concatenate([ca_, extra])
+    # palette index 0 is always the coefficient 1 (builder invariant)
+    cidx = np.concatenate([ia, np.zeros(len(extra), np.int32)])
+    pal_list = [int(c) for c in pal]
+    return (
+        (rows, cols, cidx, pal_list),
+        (*mb, pal_list),
+        (*mc, pal_list),
+    )
 
 
 def _mats_to_device(host_mats):
+    """Palette-indexed host COOs -> device (rows, cols, coeff-limb) triples.
+    Coefficients are stored as c * R^2 so mont_mul(coeff, canonical_w) lands
+    in Montgomery form directly; the palette gather keeps the host-side
+    conversion O(palette) python + one vectorized take."""
     out = []
-    for coo in host_mats:
-        rows, cols, coeffs = coo
-        # coeffs stored as c * R^2 so mont_mul(coeff, canonical_w) lands in
-        # Montgomery form directly
-        cf = limb.ints_to_limbs([c * _R2_FR % FR_MOD for c in coeffs]) if len(coeffs) else np.zeros((0, limb.L), np.uint32)
-        out.append((jnp.asarray(rows.astype(np.int32)), jnp.asarray(cols.astype(np.int32)), jnp.asarray(cf)))
+    for rows, cols, cidx, pal in host_mats:
+        if len(cidx):
+            pal_r2 = limb.ints_to_limbs([int(c) * _R2_FR % FR_MOD for c in pal])
+            cf = pal_r2[np.asarray(cidx)]
+        else:
+            cf = np.zeros((0, limb.L), np.uint32)
+        out.append(
+            (
+                jnp.asarray(rows.astype(np.int32)),
+                jnp.asarray(cols.astype(np.int32)),
+                jnp.asarray(cf),
+            )
+        )
     return tuple(out)
 
 
@@ -304,8 +332,7 @@ def setup(cs: ConstraintSystem, rng=None) -> tuple[ProvingKey, VerifyingKey]:
     nw = cs.num_wires
 
     lag = _lagrange_at_tau_mont_dev(k, tau)
-    mat_a, mat_b = snarkjs_matrices(cs)
-    mat_c = cs.matrices()[2]
+    mat_a, mat_b, mat_c = _indexed_matrices(cs)
     u_tau = _poly_evals_dev(mat_a, lag, nw)  # (nw, 16) canonical, device
     v_tau = _poly_evals_dev(mat_b, lag, nw)
     w_tau = _poly_evals_dev(mat_c, lag, nw)
@@ -402,22 +429,21 @@ def compute_h(pk: ProvingKey, witness):
     return _compute_h_traced(pk.k, pk.mats, witness)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _prove_kernel(k: int, npub: int, mats, a_q, b1_q, b2_q, l_q, h_q, w):
-    """The whole device side of prove(): QAP division + the five MSMs, one
-    compiled program (eager dispatch over the TPU tunnel is latency-bound)."""
+def _prove_traced(k: int, npub: int, mats, a_q, b1_q, b2_q, l_q, h_q, w,
+                  n_tiles: int = 4096):
+    """The whole device side of prove(): QAP division + the five MSMs."""
     h = _compute_h_traced(k, mats, w)
 
     # Pippenger (32m point-adds) once the problem is big enough to amortize
     # its fixed bucket-merge cost; the 256-step scan (512m) for small systems
     def msm1(points, scalars):
         if int(points[0].shape[0]) >= 4096:
-            return msm.pippenger_msm_g1(points, scalars)
+            return msm.pippenger_msm_g1(points, scalars, n_tiles)
         return msm.msm_g1(points, scalars)
 
     def msm2(points, scalars):
         if int(points[0].shape[0]) >= 4096:
-            return msm.pippenger_msm_g2(points, scalars)
+            return msm.pippenger_msm_g2(points, scalars, n_tiles)
         return msm.msm_g2(points, scalars)
 
     a_sum = msm1(a_q, w)
@@ -426,6 +452,29 @@ def _prove_kernel(k: int, npub: int, mats, a_q, b1_q, b2_q, l_q, h_q, w):
     c_l = msm1(l_q, w[npub + 1 :]) if int(l_q[0].shape[0]) > 0 else None
     c_h = msm1(h_q, h)
     return a_sum, b1_sum, b2_sum, c_l, c_h
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _prove_kernel(k: int, npub: int, mats, a_q, b1_q, b2_q, l_q, h_q, w):
+    """One compiled program per proof (eager dispatch over the TPU tunnel is
+    latency-bound)."""
+    return _prove_traced(k, npub, mats, a_q, b1_q, b2_q, l_q, h_q, w)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _prove_batch_kernel(k: int, npub: int, n_tiles: int, mats,
+                        a_q, b1_q, b2_q, l_q, h_q, W):
+    """Batched prover: W is (B, nw, 16); one compiled program emits the MSM
+    sums for B proofs. Pippenger tile count is scaled down so the combined
+    (B x tiles) lane width stays constant — the per-window bucket merge and
+    the 2x256-step weighted bucket reduction (the fixed serial cost that
+    dominates a single proof) then run B-wide, which is where batching wins
+    on the MXU/VPU."""
+    fn = functools.partial(
+        _prove_traced, k, npub, mats, a_q, b1_q, b2_q, l_q, h_q,
+        n_tiles=n_tiles,
+    )
+    return jax.vmap(fn)(W)
 
 
 def _single_scalar_mul(ops, point_host, scalar: int):
@@ -448,6 +497,30 @@ def prove(pk: ProvingKey, witness_limbs, r: int | None = None, s: int | None = N
         pk.l_query, pk.h_query, w,
     )
     return finish_proof(pk, sums, r, s)
+
+
+def prove_batch(pk: ProvingKey, witness_batch, rs=None):
+    """Batched Groth16: witness_batch (B, num_wires, 16) canonical limbs ->
+    list of B (A, B2, C) proofs. The per-proof MSM sums come out of ONE
+    compiled device program (see _prove_batch_kernel); only the constant-size
+    blinding fold runs on host per proof.
+
+    This is the framework's throughput mode — the reference's proving stage
+    (delegated to snarkjs/rapidsnark, Makefile:5-6) has no batch equivalent;
+    BASELINE.json's north star (batched proofs/sec/chip) is measured here."""
+    W = jnp.asarray(witness_batch)
+    B = int(W.shape[0])
+    n_tiles = max(64, 4096 // max(1, B))
+    sums = _prove_batch_kernel(
+        pk.k, pk.num_public, n_tiles, pk.mats, pk.a_query, pk.b1_query,
+        pk.b2_query, pk.l_query, pk.h_query, W,
+    )
+    proofs = []
+    for i in range(B):
+        si = jax.tree_util.tree_map(lambda c: c[i], sums)
+        r, s = rs[i] if rs is not None else (None, None)
+        proofs.append(finish_proof(pk, si, r, s))
+    return proofs
 
 
 def finish_proof(pk: ProvingKey, sums, r: int | None = None, s: int | None = None):
@@ -538,10 +611,12 @@ def load_zkey(path: str) -> tuple[ProvingKey, VerifyingKey]:
     mats = []
     for midx in (0, 1):
         rows, cols, vals = d["coeffs"][midx]
+        # no palette structure in a foreign zkey: identity index map
         mats.append(
             (
                 np.asarray(rows, np.int64),
                 np.asarray(cols, np.int64),
+                np.arange(len(vals), dtype=np.int32),
                 [int(v) for v in vals],
             )
         )

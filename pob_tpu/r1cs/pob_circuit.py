@@ -35,14 +35,14 @@ from .gadgets_cs import (
     digest_bits_to_byte_lcs,
     is_zero_cs,
     keccak_bytes_cs,
-    keccak_f_cs,
+    keccak_static_cs,
     lt_bit_cs,
     mul_lc,
     mult_and_cs,
     one_hot_cs,
     poseidon_cs,
     prefix_filter_cs,
-    xor_lc,
+    strict_bits_cs,
 )
 from .lc import lc_add, lc_const, lc_scale, lc_sub, lc_terms, lc_wire
 from . import witness as wit
@@ -76,32 +76,6 @@ def _value_byte_lc(bits_arr, j: int, width: int):
 
 def _value_bit_lc(bits_arr, b: int, width: int):
     return lc_wire(int(bits_arr[b])) if b < width else lc_const(0)
-
-
-def keccak_static_cs(cs: ConstraintSystem, name: str, msg_bit_lcs, n_blocks: int):
-    """Static-length keccak over n_blocks*1088 message-bit LCs (padding bits
-    already included as constants). Returns 256 digest-bit LCs.
-    Blocks: per block b>0 '{name}_b{b}_ax' (17, 64), plus keccak_f blocks."""
-    assert len(msg_bit_lcs) == n_blocks * 1088
-    state = None
-    for b in range(n_blocks):
-        def mbit(l, z):
-            return msg_bit_lcs[b * 1088 + l * 64 + z] if l < 17 else lc_const(0)
-
-        if b == 0:
-            in_lcs = [[mbit(l, z) for z in range(64)] for l in range(25)]
-        else:
-            ax = cs.alloc_block(f"{name}_b{b}_ax", (17, 64))
-            constrain_boolean(cs, ax)
-            for l in range(17):
-                for z in range(64):
-                    xor_lc(cs, int(ax[l, z]), state[l][z], mbit(l, z))
-            in_lcs = [
-                [lc_wire(int(ax[l, z])) for z in range(64)] if l < 17 else state[l]
-                for l in range(25)
-            ]
-        state = keccak_f_cs(cs, f"{name}_b{b}", in_lcs)
-    return [state[bit // 64][bit % 64] for bit in range(256)]
 
 
 def select_at_offset_cs(cs, name, vec_lcs, oh, k: int):
@@ -380,6 +354,7 @@ def build_pob_cs(cfg: PoBConfig) -> ConstraintSystem:
     nullifier = poseidon_cs(cs, "p_null", [lc_const(POSEIDON_NULLIFIER_PREFIX), bk])
     addr_h = poseidon_cs(cs, "p_addr", [lc_const(POSEIDON_BURN_ADDRESS_PREFIX), bk, rev, bex])
     addr_bits = _dec(cs, "addr_bits", addr_h, 254)
+    strict_bits_cs(cs, "addr_bits", addr_bits)
 
     # burn-address keccak (static 1 block, inLen=20; burn_address.circom:67-83)
     def addr_msg_bit(byte, k):
@@ -404,11 +379,20 @@ def build_pob_cs(cfg: PoBConfig) -> ConstraintSystem:
     blockroot_bits = keccak_bytes_cs(cs, "k_hdr", hdr_lcs, hlen, cfg.max_header_blocks)
 
     # public commitment (:132-139): 6 values, 192 bytes, 2 static blocks
+    # full-width decompositions carry the Num2Bits_strict alias check
+    # (convert.circom:46-56) — they feed keccak messages (commitment, PoW,
+    # burn address), so a non-canonical x + p encoding would bind a different
+    # message to the same field values.
     null_bits = _dec(cs, "null_bits", nullifier, 254)
+    strict_bits_cs(cs, "null_bits", null_bits)
     coin_bits = _dec(cs, "coin_bits", remaining, 254)
+    strict_bits_cs(cs, "coin_bits", coin_bits)
     bex_bits = _dec(cs, "bex_bits", bex, 254)
+    strict_bits_cs(cs, "bex_bits", bex_bits)
     pex_bits = _dec(cs, "pex_bits", pex, 254)
+    strict_bits_cs(cs, "pex_bits", pex_bits)
     bk_bits = _dec(cs, "bk_bits", bk, 254)
+    strict_bits_cs(cs, "bk_bits", bk_bits)
 
     def com_msg_bit(byte, k):
         if byte < 192:
@@ -800,6 +784,8 @@ def pob_r1cs_witness(cfg: PoBConfig, **kw):
         for k in ("x2", "x4", "x5"):
             b[f"{nm}_{k}"] = blk[k]
     b["addr_bits"] = fr_bits(addr_h, 254)
+    for k, v in wit.strict_bits_trace(b["addr_bits"]).items():
+        b[f"addr_bits_{k}"] = v
 
     # burn-address keccak (static, inLen=20)
     addr_bytes = _be_bytes(addr_h)[..., :20]
@@ -823,6 +809,9 @@ def pob_r1cs_witness(cfg: PoBConfig, **kw):
     b["bex_bits"] = fr_bits(bex, 254)
     b["pex_bits"] = fr_bits(pex, 254)
     b["bk_bits"] = fr_bits(bk, 254)
+    for nm in ("null_bits", "coin_bits", "bex_bits", "pex_bits", "bk_bits"):
+        for k, v in wit.strict_bits_trace(b[nm]).items():
+            b[f"{nm}_{k}"] = v
     com_msg = jnp.concatenate(
         [br_bytes, _be_bytes(nullifier), _be_bytes(remaining), _be_bytes(rev),
          _be_bytes(bex), _be_bytes(pex), jnp.zeros(batch + (80,), I32)],

@@ -28,6 +28,7 @@ from .gadgets_cs import (
     constrain_linear_zero,
     keccak_f_cs,
     poseidon_cs,
+    strict_bits_cs,
 )
 from .lc import lc_const, lc_scale, lc_sub, lc_wire
 from . import witness as wit
@@ -68,9 +69,15 @@ def build_spend_cs() -> ConstraintSystem:
     coin_bits = cs.alloc_block("coin_bits", (_N_BITS,))
     rem_bits = cs.alloc_block("remaining_bits", (_N_BITS,))
     ex_bits = cs.alloc_block("extra_bits", (_N_BITS,))
+    # full-width decompositions need the Num2Bits_strict alias check
+    # (convert.circom:46-56): without it the x + p encoding binds a different
+    # keccak message (hence a different commitment) to the same field values.
     constrain_decomposition(cs, coin, coin_bits)
+    strict_bits_cs(cs, "coin_bits", coin_bits)
     constrain_decomposition(cs, remaining, rem_bits)
+    strict_bits_cs(cs, "remaining_bits", rem_bits)
     constrain_decomposition(cs, ex, ex_bits)
+    strict_bits_cs(cs, "extra_bits", ex_bits)
 
     # PublicCommitment(4): keccak over 128 message bytes + static padding
     # (public_commitment.circom:18-42; padding per keccak.circom:412-446 with
@@ -94,7 +101,7 @@ def build_spend_cs() -> ConstraintSystem:
         ]
         for l in range(25)
     ]
-    out_lcs = keccak_f_cs(cs, "k", state_lcs)
+    out_lcs = keccak_f_cs(cs, "k", state_lcs).to_lcs()
 
     # commitment = BE pack of digest bytes 0..30 (drop last byte)
     commit_lc = lc_const(0)
@@ -152,6 +159,13 @@ def spend_witness(burn_key, balance, withdrawn, extra):
         "coin_bits": bits(coin, _N_BITS),
         "remaining_bits": bits(remaining, _N_BITS),
         "extra_bits": bits(extra, _N_BITS),
+        **{
+            f"{nm}_{k}": v
+            for nm, val in (
+                ("coin_bits", coin), ("remaining_bits", remaining), ("extra_bits", extra)
+            )
+            for k, v in wit.strict_bits_trace(bits(val, _N_BITS)).items()
+        },
         "k_tc": kblocks["tc"],
         "k_d": kblocks["d"],
         "k_to": kblocks["to"],

@@ -141,6 +141,24 @@ def poseidon_trace(input_limbs):
     return blocks, limb.from_mont(FR, state[..., 0, :])
 
 
+def strict_bits_trace(bits):
+    """Witness twin of gadgets_cs.strict_bits_cs: the suffix-equality chain
+    eq[i] = prod_{j>=i} (b_j == k_j) against k = bits(p-1), and the gt terms
+    eq[i+1]*b_i at the zero positions of p-1. bits: (..., 254) int32.
+    Returns {"eq": (..., 254), "gt": (..., n_zero)} int32 tensors."""
+    from .gadgets_cs import P_MINUS_1_BITS, STRICT_ZERO_POS
+
+    k = jnp.asarray(P_MINUS_1_BITS.astype(np.int32))
+    t = jnp.where(k == 1, bits, 1 - bits)
+    eq = jnp.flip(jnp.cumprod(jnp.flip(t, -1), axis=-1), -1)
+    eq_next = jnp.concatenate(
+        [eq[..., 1:], jnp.ones(bits.shape[:-1] + (1,), I32)], axis=-1
+    )
+    zp = np.asarray(STRICT_ZERO_POS)
+    gt = eq_next[..., zp] * bits[..., zp]
+    return {"eq": eq.astype(I32), "gt": gt.astype(I32)}
+
+
 def bits_to_limb_block(bits):
     """(..., n) 0/1 int32 -> (..., n, 16) limb values."""
     out = jnp.zeros(bits.shape + (limb.L,), U32)

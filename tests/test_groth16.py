@@ -55,6 +55,21 @@ def test_groth16_toy_different_witness_same_statement():
     assert groth16.verify(vk, proof, pub)
 
 
+def test_groth16_prove_batch():
+    """Batched prover: one compiled program emits B proofs; every proof must
+    verify against its own publics and fail against its neighbor's."""
+    cs = toy_cs()
+    pk, vk = groth16.setup(cs)
+    cases = [toy_witness(100 + i, 7000 + 13 * i) for i in range(4)]
+    W = jnp.asarray(np.stack([limb.ints_to_limbs(w) for w, _ in cases]))
+    proofs = groth16.prove_batch(pk, W, rs=[(i + 1, i + 2) for i in range(4)])
+    assert len(proofs) == 4
+    for i, (proof, (_, pub)) in enumerate(zip(proofs, cases)):
+        assert groth16.verify(vk, proof, pub), f"batched proof {i} must verify"
+    other = cases[0][1]
+    assert not groth16.verify(vk, proofs[1], other)
+
+
 def test_groth16_zkey_roundtrip(tmp_path):
     """setup -> write_zkey -> load_zkey -> prove with the loaded key ->
     verify with the loaded vk (and cross-verify against the original vk)."""

@@ -70,7 +70,9 @@ def test_poly_evals_dev_matches_host():
     nw = 4
     host = groth16._poly_evals_at_tau((rows, cols, coeffs), lag, nw)
     lag_m = groth16._lagrange_at_tau_mont_dev(k, tau)
-    dev = groth16._poly_evals_dev((rows, cols, coeffs), lag_m, nw)
+    dev = groth16._poly_evals_dev(
+        (rows, cols, np.arange(len(coeffs), dtype=np.int32), coeffs), lag_m, nw
+    )
     assert [limb.limbs_to_int(row) for row in np.asarray(dev)] == host
 
 
