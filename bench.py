@@ -1,77 +1,132 @@
-"""Headline benchmark: batched ProofOfBurn witness generation + public
-commitment on one TPU chip, prod-scale circuit config.
+"""Headline benchmark: batched end-to-end Groth16 proving on one TPU chip —
+witness generation -> QAP division (h) -> all five MSMs -> proof fold, with
+self-verification asserted — on the Spend circuit (spend.circom:32-53,
+~1.6e5 constraints, NTT domain 2^18).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference publishes no numbers (BASELINE.md); its witness path
-is the circom-generated single-threaded C++ binary (Makefile:5-6) evaluating
-~1.7e7 BN254 constraint ops per proof — about 1 proof/s/core for a
-rapidsnark-class witness generator (SURVEY.md §6 derivation). vs_baseline is
-measured proofs/sec/chip against that 1.0 proofs/s estimate."""
+Baseline: the reference delegates proving to snarkjs/rapidsnark
+(Makefile:5-6, README.md:50-66) and publishes no numbers (BASELINE.md).
+vs_baseline is measured against an estimated 1.0 proofs/s for single-core
+rapidsnark on a 2^18-constraint system (rapidsnark proves ~10^5-10^6
+constraints/s/core; BASELINE.json's north star asks for >= 20x that,
+per chip, snarkjs-compatible).
+
+Environment knobs: BENCH_BATCH (default 16), BENCH_ITERS (default 5),
+BENCH_VERIFY (default 4: proofs per iteration to pairing-verify on host)."""
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
-BASELINE_WITNESS_PROOFS_PER_SEC = 1.0  # single-core C++ witness gen (est.)
+BASELINE_PROVE_PER_SEC = 1.0  # single-core rapidsnark on ~2^18 constraints (est.)
 
 
 def main():
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor an explicit backend choice even when a plugin sitecustomize
+        # force-set another default (the axon TPU plugin does)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
-    from pob_tpu.circuits.proof_of_burn import PROD_CONFIG, pob_forward
-    from pob_tpu.harness.inputs import batch_stack, load_pob_input, widen_pob_input
+    from pob_tpu.field import limb
+    from pob_tpu.field.ref import FR_MOD
+    from pob_tpu.harness.inputs import load_spend_input, spend_expected_commitment
+    from pob_tpu.prover import groth16
+    from pob_tpu.r1cs.spend_circuit import (
+        assemble_witness,
+        build_spend_cs,
+        spend_witness,
+    )
+    from pob_tpu.utils.metrics import MetricsRegistry
 
-    fix = os.path.join(os.path.dirname(__file__), "tests", "fixtures", "pob_input.json")
-    raw = json.load(open(fix))
-    # widen the recorded test-config fixture to the prod instantiation
-    # ProofOfBurn(16, 4, 16, 50, 31, 2, ...) (main_proof_of_burn.circom:26)
-    wide = widen_pob_input(raw, PROD_CONFIG)
-    inp = load_pob_input(wide, PROD_CONFIG)
+    import sys
 
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
-    iters = int(os.environ.get("BENCH_ITERS", "7"))
-    kwargs = batch_stack([inp] * batch)
+    def log(msg):
+        print(f"[bench +{time.perf_counter()-_T0:.1f}s] {msg}",
+              file=sys.stderr, flush=True)
 
-    # distinct inputs per iteration (the tunnel runtime memoizes identical
-    # executions) — vary _proofExtraCommitment, which changes every
-    # commitment but keeps the witness valid
-    def make(it):
-        pec = np.zeros((batch, 16), np.uint32)
-        pec[:, 0] = np.arange(batch) + it * batch + 1
-        d = dict(kwargs)
-        d["proof_extra_commitment"] = pec
-        return {k: jnp.asarray(v) for k, v in d.items()}
+    _T0 = time.perf_counter()
+    metrics = MetricsRegistry()
+    fix = os.path.join(os.path.dirname(__file__), "tests", "fixtures",
+                       "spend_input.json")
+    base = load_spend_input(fix)
 
-    fn = jax.jit(lambda kw: pob_forward(PROD_CONFIG, **kw))
-    warm = fn(make(10_000))
-    np.asarray(warm["commitment"])  # compile + warm, force completion
+    log(f"backend={jax.default_backend()} devices={len(jax.devices())}")
+    with metrics.stage("build_cs"):
+        cs = build_spend_cs()
+    log(f"cs built: {cs.num_constraints} constraints")
+    with metrics.stage("setup") as h:
+        pk, vk = groth16.setup(cs)
+        h["out"] = pk.h_query
+    log(f"setup done: domain 2^{pk.k}")
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    n_verify = int(os.environ.get("BENCH_VERIFY", "4"))
+
+    def witnesses(it):
+        """Distinct instances per iteration (the tunnel runtime memoizes
+        identical executions): vary extraCommitment per lane."""
+        cases = [
+            dict(base, extra_commitment=base["extra_commitment"] + it * batch + i)
+            for i in range(batch)
+        ]
+        args = [
+            jnp.asarray(np.stack([limb.int_to_limbs(c[k] % FR_MOD) for c in cases]))
+            for k in ("burn_key", "balance", "withdrawn", "extra_commitment")
+        ]
+        return assemble_witness(cs, jax.jit(spend_witness)(*args)), cases
+
+    with metrics.stage("warmup_compile"):
+        W, _ = witnesses(10_000)
+        jax.block_until_ready(W)
+        log(f"witness batch ready {tuple(W.shape)}; compiling prove_batch")
+        proofs = groth16.prove_batch(pk, W)
+    log("warmup done")
 
     times = []
+    all_proofs = None
+    all_cases = None
     for it in range(iters):
-        arrs = make(it)
+        # end-to-end per iteration: witness generation -> h -> 5 MSMs -> proof
         t0 = time.perf_counter()
-        out = fn(arrs)
-        np.asarray(out["commitment"])[0, 0]  # host fetch forces completion
+        W, cases = witnesses(it)
+        proofs = groth16.prove_batch(pk, W)
         times.append(time.perf_counter() - t0)
-    assert bool(np.asarray(out["valid"]).all()), "witness must validate"
-    dt = sorted(times)[len(times) // 2]  # median
+        all_proofs, all_cases = proofs, cases
+        metrics.count("proofs", batch)
 
+    with metrics.stage("verify"):
+        for i in range(min(n_verify, batch)):
+            pub = [spend_expected_commitment(all_cases[i])]
+            assert groth16.verify(vk, all_proofs[i], pub), f"proof {i} must verify"
+            bad = [(pub[0] + 1) % FR_MOD]
+            assert not groth16.verify(vk, all_proofs[i], bad)
+
+    dt = sorted(times)[len(times) // 2]  # median
     proofs_per_sec = batch / dt
+    summary = metrics.report()
+    summary["batch"] = batch
+    summary["domain_k"] = pk.k
+    summary["num_constraints"] = cs.num_constraints
     print(
         json.dumps(
             {
-                "metric": "pob_witness_commitments_per_sec_per_chip",
+                "metric": "groth16_spend_proofs_per_sec_per_chip",
                 "value": round(proofs_per_sec, 3),
                 "unit": "proofs/s",
-                "vs_baseline": round(proofs_per_sec / BASELINE_WITNESS_PROOFS_PER_SEC, 3),
+                "vs_baseline": round(proofs_per_sec / BASELINE_PROVE_PER_SEC, 3),
             }
         )
     )
+    import sys
+
+    print(json.dumps({"detail": summary}), file=sys.stderr)
 
 
 if __name__ == "__main__":

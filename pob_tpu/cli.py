@@ -64,6 +64,9 @@ def _witness_limbs(circuit: str, config: str, input_path: str, cs):
     cfg = _pob_config(config)
     inp = load_pob_input(input_path, cfg)
     kw = {k: jnp.asarray(v) for k, v in batch_stack([inp]).items()}
+    # eager on purpose: jitting the whole PoB witness trace produces a
+    # ~17MB module that is punishing to compile (and can OOM the TPU AOT
+    # compile helper); the op-level dispatch amortizes fine at batch >= 1
     blocks = pob_r1cs_witness(cfg, **kw)
     return np.asarray(assemble_witness(cs, blocks))[0]
 
@@ -151,23 +154,43 @@ def cmd_grind(args):
 
 
 def cmd_gen_input(args):
-    from .circuits.proof_of_burn import TEST_CONFIG
-    from .harness.generate import Eth, generate_live
+    from .harness.generate import Eth, build_spend_input, generate_live
 
     cfg = _pob_config(args.config)
     eth = Eth(args.rpc)
-    pob_inp, spend_inp = generate_live(cfg, eth, args.reveal, args.extra,
-                                       args.zero_bytes)
+    pob_inp = generate_live(cfg, eth, args.reveal, args.extra, args.zero_bytes)
     with open(args.out, "w") as f:
         json.dump(pob_inp, f)
     if args.spend_out:
+        # the spend statement over the coin minted by this burn: withdraw the
+        # revealed amount from intendedBalance - revealAmount... the recorded
+        # convention (tests/test_spend_input.json) is balance = remaining coin
+        # balance, withdrawn chosen by the user; default withdraw-nothing.
+        spend_inp = build_spend_input(
+            int(pob_inp["burnKey"]),
+            int(pob_inp["intendedBalance"]) - int(pob_inp["revealAmount"]),
+            0,
+            int(pob_inp["burnExtraCommitment"]),
+        )
         with open(args.spend_out, "w") as f:
             json.dump(spend_inp, f)
     print(f"wrote {args.out}")
     return 0
 
 
+def _pin_platform():
+    """Honor JAX_PLATFORMS even when a plugin's sitecustomize force-set a
+    different default (the axon TPU plugin does); same workaround as
+    tests/conftest.py."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def main(argv=None):
+    _pin_platform()
     p = argparse.ArgumentParser(prog="pob_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

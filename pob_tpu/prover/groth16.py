@@ -429,52 +429,34 @@ def compute_h(pk: ProvingKey, witness):
     return _compute_h_traced(pk.k, pk.mats, witness)
 
 
-def _prove_traced(k: int, npub: int, mats, a_q, b1_q, b2_q, l_q, h_q, w,
-                  n_tiles: int = 4096):
-    """The whole device side of prove(): QAP division + the five MSMs."""
-    h = _compute_h_traced(k, mats, w)
+# The batched prover runs as a handful of per-stage programs (h, then one per
+# MSM query) instead of one monolithic kernel: a single program holding six
+# 2^k-NTT buffers plus five MSM bucket/scan workspaces co-resident exceeded
+# the v5e's 16G HBM (and at one point crashed the TPU worker); per-stage
+# programs bound peak memory to one stage's working set, and the inter-stage
+# tensors (the witness batch and h, tens of MB) stay on device.
 
-    # Pippenger (32m point-adds) once the problem is big enough to amortize
-    # its fixed bucket-merge cost; the 256-step scan (512m) for small systems
-    def msm1(points, scalars):
-        if int(points[0].shape[0]) >= 4096:
-            return msm.pippenger_msm_g1(points, scalars, n_tiles)
-        return msm.msm_g1(points, scalars)
 
-    def msm2(points, scalars):
-        if int(points[0].shape[0]) >= 4096:
-            return msm.pippenger_msm_g2(points, scalars, n_tiles)
-        return msm.msm_g2(points, scalars)
-
-    a_sum = msm1(a_q, w)
-    b1_sum = msm1(b1_q, w)
-    b2_sum = msm2(b2_q, w)
-    c_l = msm1(l_q, w[npub + 1 :]) if int(l_q[0].shape[0]) > 0 else None
-    c_h = msm1(h_q, h)
-    return a_sum, b1_sum, b2_sum, c_l, c_h
+@functools.partial(jax.jit, static_argnums=(0,))
+def _h_batch_kernel(k: int, mats, W):
+    return jax.vmap(lambda w: _compute_h_traced(k, mats, w))(W)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _prove_kernel(k: int, npub: int, mats, a_q, b1_q, b2_q, l_q, h_q, w):
-    """One compiled program per proof (eager dispatch over the TPU tunnel is
-    latency-bound)."""
-    return _prove_traced(k, npub, mats, a_q, b1_q, b2_q, l_q, h_q, w)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _prove_batch_kernel(k: int, npub: int, n_tiles: int, mats,
-                        a_q, b1_q, b2_q, l_q, h_q, W):
-    """Batched prover: W is (B, nw, 16); one compiled program emits the MSM
-    sums for B proofs. Pippenger tile count is scaled down so the combined
-    (B x tiles) lane width stays constant — the per-window bucket merge and
-    the 2x256-step weighted bucket reduction (the fixed serial cost that
-    dominates a single proof) then run B-wide, which is where batching wins
-    on the MXU/VPU."""
-    fn = functools.partial(
-        _prove_traced, k, npub, mats, a_q, b1_q, b2_q, l_q, h_q,
-        n_tiles=n_tiles,
+def _msm_batch_kernel(group: str, n_tiles: int, points, scalars):
+    """scalars: (B, m, 16); shared points. Pippenger tile count is scaled so
+    the combined (B x 32 windows x tiles) scatter lane width stays constant —
+    the bucket merge and the 255-step weighted reduction (the fixed serial
+    cost that dominates a single proof) then run B-wide, which is where
+    batching wins on the VPU."""
+    pip, small = (
+        (msm.pippenger_msm_g1, msm.msm_g1)
+        if group == "g1"
+        else (msm.pippenger_msm_g2, msm.msm_g2)
     )
-    return jax.vmap(fn)(W)
+    if int(points[0].shape[0]) >= 4096:
+        return jax.vmap(lambda s: pip(points, s, n_tiles))(scalars)
+    return jax.vmap(lambda s: small(points, s))(scalars)
 
 
 def _single_scalar_mul(ops, point_host, scalar: int):
@@ -489,14 +471,12 @@ def _single_scalar_mul(ops, point_host, scalar: int):
 
 def prove(pk: ProvingKey, witness_limbs, r: int | None = None, s: int | None = None):
     """witness_limbs: (num_wires, 16) canonical limbs with w[0] == 1.
-    Returns (proof_a, proof_b, proof_c) as host affine points."""
-    w = jnp.asarray(witness_limbs)
+    Returns (proof_a, proof_b, proof_c) as host affine points.
 
-    sums = _prove_kernel(
-        pk.k, pk.num_public, pk.mats, pk.a_query, pk.b1_query, pk.b2_query,
-        pk.l_query, pk.h_query, w,
-    )
-    return finish_proof(pk, sums, r, s)
+    Routed through the staged batch path at B=1 so the compiled programs are
+    shared with throughput-mode proving and peak HBM stays one stage's
+    working set."""
+    return prove_batch(pk, jnp.asarray(witness_limbs)[None], rs=[(r, s)])[0]
 
 
 def prove_batch(pk: ProvingKey, witness_batch, rs=None):
@@ -510,11 +490,20 @@ def prove_batch(pk: ProvingKey, witness_batch, rs=None):
     BASELINE.json's north star (batched proofs/sec/chip) is measured here."""
     W = jnp.asarray(witness_batch)
     B = int(W.shape[0])
-    n_tiles = max(64, 4096 // max(1, B))
-    sums = _prove_batch_kernel(
-        pk.k, pk.num_public, n_tiles, pk.mats, pk.a_query, pk.b1_query,
-        pk.b2_query, pk.l_query, pk.h_query, W,
+    # keep the combined (B x 32 windows x tiles) scatter lane width ~2-4k
+    n_tiles = max(8, 64 // max(1, B))
+    h = _h_batch_kernel(pk.k, pk.mats, W)
+    npub = pk.num_public
+    a_sum = _msm_batch_kernel("g1", n_tiles, pk.a_query, W)
+    b1_sum = _msm_batch_kernel("g1", n_tiles, pk.b1_query, W)
+    b2_sum = _msm_batch_kernel("g2", n_tiles, pk.b2_query, W)
+    c_l = (
+        _msm_batch_kernel("g1", n_tiles, pk.l_query, W[:, npub + 1 :])
+        if int(pk.l_query[0].shape[0]) > 0
+        else None
     )
+    c_h = _msm_batch_kernel("g1", n_tiles, pk.h_query, h)
+    sums = (a_sum, b1_sum, b2_sum, c_l, c_h)
     proofs = []
     for i in range(B):
         si = jax.tree_util.tree_map(lambda c: c[i], sums)

@@ -89,23 +89,28 @@ def scalar_digits(scalars):
     return jnp.stack([lo, hi], axis=-1).reshape(scalars.shape[:-1] + (N_WINDOWS,))
 
 
-def pippenger_msm(ops, points, scalars, n_tiles: int = 4096):
-    """Variable-base MSM via tile-parallel Pippenger bucket accumulation.
+def pippenger_msm(ops, points, scalars, n_tiles: int = 64):
+    """Variable-base MSM via window-vectorized Pippenger bucket accumulation.
 
     TPUs have no atomic scatter-add, so classic per-bucket accumulation is
-    reformulated as T independent sequential accumulators: the m points are
-    split into T tiles; a scan walks each tile's slice in lockstep, and at
-    every step the T active points are gathered-from / scattered-to each
-    tile's private (256,) bucket row at its own digit — a unique-index
-    scatter, which XLA handles as a dense dynamic-update. Total point-adds:
-    32 windows x (m/T scan steps x T lanes + log T merge + 2*256 weighted
-    reduction) ~= 32 m, versus 512 m for double-and-add (msm above), with
-    every op a wide static-shape vector op.
+    reformulated as (N_WINDOWS x T) independent sequential accumulators:
+    the m points are split into T tiles, and ONE scan walks the tiles'
+    slices in lockstep; at every step the T active points are scattered
+    into all 32 windows' bucket rows at once (vector width 32T lanes, a
+    unique-index dense dynamic-update scatter). Points stream through HBM
+    exactly once. After the scan: a log2(T) masked fold merges the private
+    rows per window, a 255-step reverse running sum forms each window's
+    weighted bucket total (32 windows in parallel), and a 32-step Horner
+    pass with 8 doublings combines the windows. Total point-adds ~= 32 m +
+    O(T log T + 256), versus 512 m for double-and-add (msm above), with
+    every op a static-shape vector op and a single compiled scan body per
+    phase (compile-time flat in m, T).
 
     points: Jacobian arrays with leading axis m; scalars: (m, 16) canonical
     limbs. Returns a single Jacobian point."""
     m = int(points[0].shape[0])
     T = min(n_tiles, max(1, m))
+    T = 1 << max(0, (T - 1).bit_length())  # power of two for the fold
     t = -(-m // T)  # ceil: scan length per tile
     pad = T * t - m
     digits = scalar_digits(scalars)  # (m, 32)
@@ -116,61 +121,64 @@ def pippenger_msm(ops, points, scalars, n_tiles: int = 4096):
     # tile-major layout: tile j owns points [j*t, (j+1)*t); scan axis first
     pts = tuple(jnp.moveaxis(c.reshape((T, t) + c.shape[1:]), 1, 0) for c in points)
     digs = jnp.moveaxis(digits.reshape(T, t, N_WINDOWS), 1, 0)  # (t, T, 32)
-    lane = jnp.arange(T)
+    lane_w = jnp.arange(N_WINDOWS)[:, None]  # (32, 1)
+    lane_t = jnp.arange(T)[None, :]  # (1, T)
 
-    def window_sum(dw):
-        """dw: (t, T) digits of one window -> window bucket-weighted sum."""
-        buckets = curve.infinity(ops, (T, 256))
+    buckets = curve.infinity(ops, (N_WINDOWS, T, 256))
 
-        def step(bk, x):
-            p, d = x
-            cur = tuple(c[lane, d] for c in bk)
-            new = curve.point_add(ops, cur, p)
-            return tuple(c.at[lane, d].set(n) for c, n in zip(bk, new)), None
+    def step(bk, x):
+        p, d = x  # p: (T, coords), d: (T, 32)
+        dw = d.T  # (32, T): bucket index per (window, tile) lane
+        cur = tuple(c[lane_w, lane_t, dw] for c in bk)  # (32, T, coords)
+        pb = tuple(jnp.broadcast_to(c, (N_WINDOWS,) + c.shape) for c in p)
+        new = curve.point_add(ops, cur, pb)
+        return tuple(c.at[lane_w, lane_t, dw].set(n) for c, n in zip(bk, new)), None
 
-        buckets, _ = jax.lax.scan(step, buckets, (pts, dw))
-        # merge the T private bucket rows -> (256,) buckets (log T tree)
-        n = T
-        bk = buckets
-        while n > 1:
-            half = n // 2
-            lo = tuple(c[:half] for c in bk)
-            hi = tuple(c[half : 2 * half] for c in bk)
-            s = curve.point_add(ops, lo, hi)
-            if n % 2:
-                bk = tuple(jnp.concatenate([cs, c[2 * half :]], 0) for cs, c in zip(s, bk))
-                n = half + 1
-            else:
-                bk, n = s, half
-        bk = tuple(c[0] for c in bk)  # (256,) buckets
-        # weighted sum_j j * bucket_j via reverse running sums
-        acc0 = curve.infinity(ops, ())
+    buckets, _ = jax.lax.scan(step, buckets, (pts, digs))
 
-        def wstep(carry, x):
-            run, tot = carry
-            run = curve.point_add(ops, run, x)
-            tot = curve.point_add(ops, tot, run)
-            return (run, tot), None
+    # merge the T private rows per window with a T-step accumulation scan at
+    # (32, 256) width: T x 8192 point-adds is negligible next to the 32m main
+    # scan, and the narrow body keeps the mont_mul widening intermediates
+    # (~12KB per lane) inside the HBM budget — a full-width tree fold over
+    # the (32, T, 256) tensor materialized multi-GB temps.
+    if T > 1:
+        rows_xs = tuple(jnp.moveaxis(c, 1, 0) for c in buckets)  # (T, 32, 256)
 
-        rev = tuple(jnp.flip(c[1:], 0) for c in bk)  # j = 255 .. 1
-        (_, total), _ = jax.lax.scan(wstep, (acc0, acc0), rev)
-        return total
+        def merge(acc, row):
+            return curve.point_add(ops, acc, row), None
 
-    def win_body(acc, dw):  # windows scanned high -> low
+        bk, _ = jax.lax.scan(merge, curve.infinity(ops, (N_WINDOWS, 256)), rows_xs)
+    else:
+        bk = tuple(c[:, 0] for c in buckets)  # (32, 256) buckets
+
+    # weighted sum_j j * bucket_j via reverse running sums, all windows at once
+    acc0 = curve.infinity(ops, (N_WINDOWS,))
+
+    def wstep(carry, x):
+        run, tot = carry
+        run = curve.point_add(ops, run, x)
+        tot = curve.point_add(ops, tot, run)
+        return (run, tot), None
+
+    rev = tuple(jnp.moveaxis(jnp.flip(c[:, 1:], 1), 1, 0) for c in bk)  # (255, 32)
+    (_, totals), _ = jax.lax.scan(wstep, (acc0, acc0), rev)
+
+    # Horner over windows, high -> low: acc = 256*acc + window_total
+    def horner(acc, w_total):
         for _ in range(WINDOW_BITS):
             acc = curve.point_double(ops, acc)
-        return curve.point_add(ops, acc, window_sum(dw)), None
+        return curve.point_add(ops, acc, w_total), None
 
-    per_window = jnp.flip(jnp.moveaxis(digs, 2, 0), 0)  # (32, t, T), high first
-    acc, _ = jax.lax.scan(win_body, curve.infinity(ops, ()), per_window)
+    per_window = tuple(jnp.flip(c, 0) for c in totals)  # high window first
+    acc, _ = jax.lax.scan(horner, curve.infinity(ops, ()), per_window)
     return acc
 
 
-def pippenger_msm_g1(points, scalars, n_tiles: int = 4096):
+def pippenger_msm_g1(points, scalars, n_tiles: int = 64):
     return pippenger_msm(curve.FqOps, points, scalars, n_tiles)
 
 
-def pippenger_msm_g2(points, scalars, n_tiles: int = 4096):
+def pippenger_msm_g2(points, scalars, n_tiles: int = 64):
     return pippenger_msm(curve.Fq2Ops, points, scalars, n_tiles)
 
 

@@ -33,19 +33,19 @@ def domain_root(k: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_twiddles(k: int, inverse: bool):
-    """Per-stage Montgomery twiddle tables for a 2^k transform."""
+def _root_powers(k: int, inverse: bool):
+    """w^t * R for t in [0, 2^(k-1)): the master twiddle table every stage
+    gathers from (stage s uses strided indices (j % 2^s) * 2^(k-1-s))."""
     n = 1 << k
     w = domain_root(k)
     if inverse:
         w = pow(w, FR_MOD - 2, FR_MOD)
-    tables = []
-    for s in range(k):
-        half = 1 << s
-        step = n >> (s + 1)
-        tw = [pow(w, j * step, FR_MOD) * _R % FR_MOD for j in range(half)]
-        tables.append(limb.ints_to_limbs(tw))  # (half, 16)
-    return tables
+    tw = []
+    acc = 1
+    for _ in range(max(1, n // 2)):
+        tw.append(acc * _R % FR_MOD)
+        acc = acc * w % FR_MOD
+    return limb.ints_to_limbs(tw)  # (n/2, 16)
 
 
 @functools.lru_cache(maxsize=None)
@@ -59,19 +59,39 @@ def _bitrev(k: int):
 
 
 def _transform(a, k: int, inverse: bool):
+    """Iterative Cooley-Tukey as ONE lax.scan over the k butterfly stages —
+    per-stage gather indices are computed inside the body from the stage's
+    half-size scalar, so the traced program holds a single butterfly body
+    regardless of k. This keeps the prover's compile-time (6 transforms per
+    proof) flat; the unrolled form put 18 x 6 distinct stage graphs in the
+    module and made XLA lowering the bottleneck."""
+    import jax
+
     n = 1 << k
+    if k == 0:
+        return a
     a = jnp.take(a, jnp.asarray(_bitrev(k)), axis=-2)
-    tables = _stage_twiddles(k, inverse)
-    for s in range(k):
-        half = 1 << s
-        block = half * 2
-        tw = jnp.asarray(tables[s])  # (half, 16)
-        shaped = a.reshape(a.shape[:-2] + (n // block, 2, half, limb.L))
-        u = shaped[..., 0, :, :]
-        v = limb.mont_mul(FR, shaped[..., 1, :, :], tw)
-        out = jnp.stack([limb.add(FR, u, v), limb.sub(FR, u, v)], axis=-3)
-        a = out.reshape(a.shape[:-2] + (n, limb.L))
-    return a
+    roots = jnp.asarray(_root_powers(k, inverse))  # (n/2, 16)
+    j = jnp.arange(n // 2)
+    i_out = jnp.arange(n)
+    halves = jnp.asarray([1 << s for s in range(k)], jnp.int32)
+
+    def stage(x, half):
+        # butterfly pairs: u at (j//half)*2half + j%half, v = u + half
+        jm = j % half
+        u_idx = (j // half) * (2 * half) + jm
+        v_idx = u_idx + half
+        tw = roots[jm * (n // 2 // half)]  # (n/2, 16)
+        u = jnp.take(x, u_idx, axis=-2)
+        v = limb.mont_mul(FR, jnp.take(x, v_idx, axis=-2), tw)
+        w = jnp.concatenate([limb.add(FR, u, v), limb.sub(FR, u, v)], axis=-2)
+        # output i reads w[src]: top half of w holds u+v entries, bottom u-v
+        in_hi = (i_out // half) % 2
+        src = (i_out // (2 * half)) * half + i_out % half + in_hi * (n // 2)
+        return jnp.take(w, src, axis=-2), None
+
+    out, _ = jax.lax.scan(stage, a, halves)
+    return out
 
 
 def ntt(a, k: int):

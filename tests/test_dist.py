@@ -49,3 +49,34 @@ def test_dryrun_entrypoints():
     out = jax.jit(fn)(*args)
     assert bool(np.asarray(out[1]).all())
     ge.dryrun_multichip(8)
+
+
+def test_init_multihost_wires_jax_distributed(monkeypatch):
+    """init_multihost (SURVEY.md §5.8): env-driven DCN process-group bring-up
+    must pass the launcher configuration through to jax.distributed.initialize
+    exactly once, and be a no-op without a coordinator."""
+    from pob_tpu.dist import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: calls.append(kw)
+    )
+    # no coordinator anywhere -> no-op
+    monkeypatch.delenv("POB_COORDINATOR", raising=False)
+    assert mesh_mod.init_multihost() is None
+    assert calls == []
+    # explicit args
+    info = mesh_mod.init_multihost("host0:1234", num_processes=4, process_id=2)
+    assert calls[-1] == {
+        "coordinator_address": "host0:1234", "num_processes": 4, "process_id": 2,
+    }
+    assert info["coordinator"] == "host0:1234"
+    assert info["global_devices"] == len(jax.devices())
+    # env-driven (the launcher convention)
+    monkeypatch.setenv("POB_COORDINATOR", "host9:999")
+    monkeypatch.setenv("POB_NUM_PROCESSES", "8")
+    monkeypatch.setenv("POB_PROCESS_ID", "5")
+    mesh_mod.init_multihost()
+    assert calls[-1] == {
+        "coordinator_address": "host9:999", "num_processes": 8, "process_id": 5,
+    }

@@ -24,12 +24,10 @@ def _pob_witness_buf(cs):
     from pob_tpu.r1cs.pob_circuit import pob_r1cs_witness
     from pob_tpu.r1cs.spend_circuit import assemble_witness
 
-    import jax
-
     inp = load_pob_input(FIX, TEST_CONFIG)
     kw = {k: jnp.asarray(v) for k, v in batch_stack([inp]).items()}
-    fn = jax.jit(lambda d: assemble_witness(cs, pob_r1cs_witness(TEST_CONFIG, **d)))
-    return np.asarray(fn(kw))
+    blocks = pob_r1cs_witness(TEST_CONFIG, **kw)
+    return np.asarray(assemble_witness(cs, blocks))
 
 
 def test_pob_r1cs_witness_satisfies_constraints():
