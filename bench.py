@@ -1,7 +1,9 @@
 """Headline benchmark: batched end-to-end Groth16 proving on one TPU chip —
 witness generation -> QAP division (h) -> all five MSMs -> proof fold, with
 self-verification asserted — on the Spend circuit (spend.circom:32-53,
-~1.6e5 constraints, NTT domain 2^18).
+~1.6e5 constraints, NTT domain 2^18), plus a ProofOfBurn (TEST_CONFIG,
+proof_of_burn.circom:34 at testcases/proof_of_burn.py:54 scale) stage
+reported in the stderr detail.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -12,121 +14,320 @@ rapidsnark on a 2^18-constraint system (rapidsnark proves ~10^5-10^6
 constraints/s/core; BASELINE.json's north star asks for >= 20x that,
 per chip, snarkjs-compatible).
 
+Architecture (hard-won, rounds 3-4): the tunnel's TPU worker dies when one
+process accumulates too many large compiled programs — every monolithic
+bench attempt (setup + witness + prove in one process) crashed with "TPU
+worker process crashed or restarted", while processes compiling <= ~5
+programs always survived. So the bench runs as an ORCHESTRATOR spawning one
+subprocess per stage, with on-disk handoff:
+
+  setup   -> proving key        (BENCH_CACHE_DIR/<tag>.npz, ~10 programs)
+  witness -> witness batches    (<tag>_W.npy + publics, 1-2 programs)
+  prove   -> proofs + timings   (h + fused planned MSMs + h-MSM: 3 programs)
+
+Each stage is retried on failure; the pk/W caches mean a retry never repeats
+completed work. The headline proofs/s counts witness generation AND proving
+(batch / (witness_s + prove_s), medians across iterations).
+
 Environment knobs: BENCH_BATCH (default 16), BENCH_ITERS (default 5),
-BENCH_VERIFY (default 4: proofs per iteration to pairing-verify on host)."""
+BENCH_VERIFY (default 4), BENCH_POB (default 1), BENCH_POB_BATCH (default
+4), BENCH_POB_ITERS (default 3), BENCH_CACHE_DIR (default
+/tmp/pob_bench_cache), BENCH_TIMEOUT (seconds per stage attempt, default
+2700)."""
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-import numpy as np
 
 BASELINE_PROVE_PER_SEC = 1.0  # single-core rapidsnark on ~2^18 constraints (est.)
 
+_T0 = time.perf_counter()
+CACHE = os.environ.get("BENCH_CACHE_DIR", "/tmp/pob_bench_cache")
 
-def main():
+
+def log(msg):
+    print(f"[bench +{time.perf_counter()-_T0:.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# circuit adapters
+# ---------------------------------------------------------------------------
+
+
+def _spend_parts():
+    from pob_tpu.r1cs.spend_circuit import build_spend_cs
+
+    return build_spend_cs()
+
+
+def _spend_witnesses(cs, batch, it):
     import jax
-
-    if os.environ.get("JAX_PLATFORMS"):
-        # honor an explicit backend choice even when a plugin sitecustomize
-        # force-set another default (the axon TPU plugin does)
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
+    import numpy as np
 
     from pob_tpu.field import limb
     from pob_tpu.field.ref import FR_MOD
     from pob_tpu.harness.inputs import load_spend_input, spend_expected_commitment
-    from pob_tpu.prover import groth16
-    from pob_tpu.r1cs.spend_circuit import (
-        assemble_witness,
-        build_spend_cs,
-        spend_witness,
-    )
-    from pob_tpu.utils.metrics import MetricsRegistry
+    from pob_tpu.r1cs.spend_circuit import assemble_witness, spend_witness
 
-    import sys
-
-    def log(msg):
-        print(f"[bench +{time.perf_counter()-_T0:.1f}s] {msg}",
-              file=sys.stderr, flush=True)
-
-    _T0 = time.perf_counter()
-    metrics = MetricsRegistry()
     fix = os.path.join(os.path.dirname(__file__), "tests", "fixtures",
                        "spend_input.json")
     base = load_spend_input(fix)
+    cases = [dict(base, extra_commitment=base["extra_commitment"] + it * batch + i)
+             for i in range(batch)]
+    args = [jnp.asarray(np.stack([limb.int_to_limbs(c[k] % FR_MOD) for c in cases]))
+            for k in ("burn_key", "balance", "withdrawn", "extra_commitment")]
+    W = assemble_witness(cs, jax.jit(spend_witness)(*args))
+    pubs = [spend_expected_commitment(c) for c in cases]
+    return W, pubs
 
-    log(f"backend={jax.default_backend()} devices={len(jax.devices())}")
-    with metrics.stage("build_cs"):
-        cs = build_spend_cs()
-    log(f"cs built: {cs.num_constraints} constraints")
-    with metrics.stage("setup") as h:
-        pk, vk = groth16.setup(cs)
-        h["out"] = pk.h_query
-    log(f"setup done: domain 2^{pk.k}")
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
-    n_verify = int(os.environ.get("BENCH_VERIFY", "4"))
+def _pob_parts():
+    from pob_tpu.circuits.proof_of_burn import TEST_CONFIG
+    from pob_tpu.r1cs.pob_circuit import build_pob_cs
 
-    def witnesses(it):
-        """Distinct instances per iteration (the tunnel runtime memoizes
-        identical executions): vary extraCommitment per lane."""
-        cases = [
-            dict(base, extra_commitment=base["extra_commitment"] + it * batch + i)
-            for i in range(batch)
-        ]
-        args = [
-            jnp.asarray(np.stack([limb.int_to_limbs(c[k] % FR_MOD) for c in cases]))
-            for k in ("burn_key", "balance", "withdrawn", "extra_commitment")
-        ]
-        return assemble_witness(cs, jax.jit(spend_witness)(*args)), cases
+    return build_pob_cs(TEST_CONFIG)
 
-    with metrics.stage("warmup_compile"):
-        W, _ = witnesses(10_000)
-        jax.block_until_ready(W)
-        log(f"witness batch ready {tuple(W.shape)}; compiling prove_batch")
-        proofs = groth16.prove_batch(pk, W)
-    log("warmup done")
 
+def _pob_witnesses(cs, batch, it):
+    import jax.numpy as jnp
+
+    from pob_tpu.field import limb
+    from pob_tpu.field.ref import FR_MOD
+    from pob_tpu.circuits.proof_of_burn import TEST_CONFIG
+    from pob_tpu.harness.inputs import (
+        batch_stack, load_pob_input, pob_expected_commitment,
+    )
+    from pob_tpu.r1cs.pob_circuit import pob_r1cs_witness
+    from pob_tpu.r1cs.spend_circuit import assemble_witness
+
+    fix = os.path.join(os.path.dirname(__file__), "tests", "fixtures",
+                       "pob_input.json")
+    raw = json.load(open(fix))
+    base = load_pob_input(fix, TEST_CONFIG)
+    pec0 = int(raw.get("_proofExtraCommitment", 0))
+    pecs = [(pec0 + 1 + it * batch + i) % FR_MOD for i in range(batch)]
+    cases = [dict(base, proof_extra_commitment=limb.int_to_limbs(p)) for p in pecs]
+    kw = {k: jnp.asarray(v) for k, v in batch_stack(cases).items()}
+    W = assemble_witness(cs, pob_r1cs_witness(TEST_CONFIG, **kw))
+    pubs = [pob_expected_commitment(dict(raw, _proofExtraCommitment=p), TEST_CONFIG)
+            for p in pecs]
+    return W, pubs
+
+
+_CIRCUITS = {
+    "spend": (_spend_parts, _spend_witnesses, "spend_k18",
+              "BENCH_BATCH", "BENCH_ITERS"),
+    "pob": (_pob_parts, _pob_witnesses, "pob_test_k",
+            "BENCH_POB_BATCH", "BENCH_POB_ITERS"),
+}
+
+
+# ---------------------------------------------------------------------------
+# stages (each runs in its own subprocess)
+# ---------------------------------------------------------------------------
+
+
+def _stage_setup(circuit):
+    import jax  # noqa: F401
+
+    from pob_tpu.prover import groth16
+
+    build_cs, _wit, tag, _bk, _ik = _CIRCUITS[circuit]
+    path = os.path.join(CACHE, f"{tag}.npz")
+    if os.path.exists(path):
+        _emit({"stage": "setup", "cached": True})
+        return
+    t0 = time.perf_counter()
+    cs = build_cs()
+    t_cs = time.perf_counter() - t0
+    log(f"setup[{circuit}]: cs built ({cs.num_constraints} constraints, {t_cs:.1f}s)")
+    t0 = time.perf_counter()
+    pk, vk = groth16.setup(cs)
+    t_setup = time.perf_counter() - t0
+    log(f"setup[{circuit}]: done (domain 2^{pk.k}, {t_setup:.1f}s)")
+    os.makedirs(CACHE, exist_ok=True)
+    t0 = time.perf_counter()
+    groth16.save_pk(path, pk, vk)
+    _emit({"stage": "setup", "cached": False, "cs_build_s": round(t_cs, 2),
+           "setup_s": round(t_setup, 2),
+           "pk_write_s": round(time.perf_counter() - t0, 2),
+           "domain_k": pk.k, "num_constraints": cs.num_constraints})
+
+
+def _stage_witness(circuit):
+    import jax
+    import numpy as np
+
+    build_cs, witnesses, tag, bk, ik = _CIRCUITS[circuit]
+    batch = int(os.environ.get(bk, "16" if circuit == "spend" else "4"))
+    iters = int(os.environ.get(ik, "5" if circuit == "spend" else "3"))
+    cs = build_cs()
     times = []
-    all_proofs = None
-    all_cases = None
-    for it in range(iters):
-        # end-to-end per iteration: witness generation -> h -> 5 MSMs -> proof
+    arrays = {}
+    pubs_all = []
+    # iteration 10_000 is the warmup/compile batch
+    for n, it in enumerate([10_000] + list(range(iters))):
         t0 = time.perf_counter()
-        W, cases = witnesses(it)
+        W, pubs = witnesses(cs, batch, it)
+        jax.block_until_ready(W)
+        dt = time.perf_counter() - t0
+        if n:
+            times.append(dt)
+            arrays[f"W{n-1}"] = np.asarray(W)
+            pubs_all.append(pubs)
+        log(f"witness[{circuit}]: iter {it} {dt:.2f}s")
+    os.makedirs(CACHE, exist_ok=True)
+    with open(os.path.join(CACHE, f"{tag}_W.npz"), "wb") as f:
+        np.savez(f, **arrays)
+    json.dump(pubs_all, open(os.path.join(CACHE, f"{tag}_pubs.json"), "w"))
+    med = sorted(times)[len(times) // 2]
+    _emit({"stage": "witness", "batch": batch, "iters": iters,
+           "witness_s": round(med, 3),
+           "iter_s": [round(t, 3) for t in times]})
+
+
+def _stage_prove(circuit):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pob_tpu.field.ref import FR_MOD
+    from pob_tpu.prover import groth16
+
+    build_cs, _wit, tag, bk, _ik = _CIRCUITS[circuit]
+    n_verify = int(os.environ.get("BENCH_VERIFY", "4"))
+    cs = build_cs()
+    pk, vk = groth16.load_pk(os.path.join(CACHE, f"{tag}.npz"))
+    groth16.attach_msm_plan(pk, cs,
+                            cache_path=os.path.join(CACHE, f"{tag}_plan.npz"))
+    log(f"prove[{circuit}]: pk loaded (domain 2^{pk.k})")
+    data = np.load(os.path.join(CACHE, f"{tag}_W.npz"))
+    pubs_all = json.load(open(os.path.join(CACHE, f"{tag}_pubs.json")))
+    iters = len(pubs_all)
+    W0 = jnp.asarray(data["W0"])
+    log(f"prove[{circuit}]: warmup compile, W {tuple(W0.shape)}")
+    t0 = time.perf_counter()
+    proofs = groth16.prove_batch(pk, W0)
+    warm_s = time.perf_counter() - t0
+    log(f"prove[{circuit}]: warmup done ({warm_s:.1f}s)")
+    times = []
+    last = None
+    for n in range(iters):
+        W = jnp.asarray(data[f"W{n}"])
+        t0 = time.perf_counter()
         proofs = groth16.prove_batch(pk, W)
-        times.append(time.perf_counter() - t0)
-        all_proofs, all_cases = proofs, cases
-        metrics.count("proofs", batch)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        last = (proofs, pubs_all[n])
+        log(f"prove[{circuit}]: iter {n} {dt:.2f}s "
+            f"({len(pubs_all[n])/dt:.2f} proofs/s)")
+    t0 = time.perf_counter()
+    proofs, pubs = last
+    for i in range(min(n_verify, len(pubs))):
+        assert groth16.verify(vk, proofs[i], [pubs[i]]), f"proof {i} must verify"
+        assert not groth16.verify(vk, proofs[i], [(pubs[i] + 1) % FR_MOD])
+    verify_s = time.perf_counter() - t0
+    med = sorted(times)[len(times) // 2]
+    _emit({"stage": "prove", "batch": int(W0.shape[0]), "iters": iters,
+           "prove_s": round(med, 3), "warmup_s": round(warm_s, 1),
+           "verify_s": round(verify_s, 1), "domain_k": pk.k,
+           "iter_s": [round(t, 3) for t in times], "verified": True})
 
-    with metrics.stage("verify"):
-        for i in range(min(n_verify, batch)):
-            pub = [spend_expected_commitment(all_cases[i])]
-            assert groth16.verify(vk, all_proofs[i], pub), f"proof {i} must verify"
-            bad = [(pub[0] + 1) % FR_MOD]
-            assert not groth16.verify(vk, all_proofs[i], bad)
 
-    dt = sorted(times)[len(times) // 2]  # median
-    proofs_per_sec = batch / dt
-    summary = metrics.report()
-    summary["batch"] = batch
-    summary["domain_k"] = pk.k
-    summary["num_constraints"] = cs.num_constraints
+# ---------------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------------
+
+
+def _run_stage(circuit, stage, extra_env=None, attempts=2):
+    timeout = float(os.environ.get("BENCH_TIMEOUT", "2700"))
+    for i in range(attempts):
+        env = dict(os.environ, BENCH_STAGE=f"{circuit}:{stage}", **(extra_env or {}))
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, stdout=subprocess.PIPE, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"stage {circuit}:{stage} attempt {i} timed out")
+            continue
+        lines = [l for l in (p.stdout or "").splitlines()
+                 if l.startswith('{"stage"')]
+        if p.returncode == 0 and lines:
+            return json.loads(lines[-1])
+        log(f"stage {circuit}:{stage} attempt {i} failed rc={p.returncode}")
+    return None
+
+
+def _bench_circuit(circuit):
+    detail = {}
+    st = _run_stage(circuit, "setup")
+    if st is None:
+        return None, detail
+    detail["setup"] = st
+    wt = _run_stage(circuit, "witness")
+    if wt is None:
+        return None, detail
+    detail["witness"] = wt
+    pv = _run_stage(circuit, "prove")
+    if pv is None:
+        return None, detail
+    detail["prove"] = pv
+    batch = pv["batch"]
+    e2e = wt["witness_s"] + pv["prove_s"]
+    detail["proofs_per_sec_e2e"] = round(batch / e2e, 3)
+    detail["proofs_per_sec_prove_only"] = round(batch / pv["prove_s"], 3)
+    return batch / e2e, detail
+
+
+def main():
+    stage = os.environ.get("BENCH_STAGE")
+    if stage:
+        from pob_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
+        import jax
+
+        if os.environ.get("JAX_PLATFORMS"):
+            # honor an explicit backend choice even when a plugin
+            # sitecustomize force-set another default (the axon plugin does)
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        circuit, name = stage.split(":")
+        {"setup": _stage_setup, "witness": _stage_witness,
+         "prove": _stage_prove}[name](circuit)
+        return
+
+    spend_rate, spend_detail = _bench_circuit("spend")
+    print(json.dumps({"detail": {"spend": spend_detail}}), file=sys.stderr,
+          flush=True)
+    if os.environ.get("BENCH_POB", "1") == "1":
+        try:
+            _pob_rate, pob_detail = _bench_circuit("pob")
+            print(json.dumps({"pob_detail": pob_detail}), file=sys.stderr,
+                  flush=True)
+        except Exception as e:  # PoB must not take down the headline
+            log(f"pob stage failed (headline unaffected): {type(e).__name__}: {e}")
+    if spend_rate is None:
+        log("spend bench failed in all attempts")
+        sys.exit(1)
     print(
         json.dumps(
             {
                 "metric": "groth16_spend_proofs_per_sec_per_chip",
-                "value": round(proofs_per_sec, 3),
+                "value": round(spend_rate, 3),
                 "unit": "proofs/s",
-                "vs_baseline": round(proofs_per_sec / BASELINE_PROVE_PER_SEC, 3),
+                "vs_baseline": round(spend_rate / BASELINE_PROVE_PER_SEC, 3),
             }
-        )
+        ),
+        flush=True,
     )
-    import sys
-
-    print(json.dumps({"detail": summary}), file=sys.stderr)
 
 
 if __name__ == "__main__":

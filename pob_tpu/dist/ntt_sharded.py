@@ -45,11 +45,35 @@ def _outer_twiddle(k1: int, k2: int, inverse: bool):
     return tbl
 
 
+def four_step_local(block, tw, k1: int, k2: int, axis: str, ndev: int,
+                    inverse: bool = False):
+    """The per-shard four-step body; must run inside shard_map.
+
+    block: (N1, N2/ndev, 16) Montgomery limbs — full rows for a slice of n2
+    of the matrix view A[n1, n2] of a natural-order vector x[n1*N2 + n2].
+    tw: the matching local slice of _outer_twiddle(k1, k2, inverse).
+    Returns (N1/ndev, N2, 16): C[k1, k2] = X[k2*N1 + k1] sharded along k1.
+    With inverse=True both small transforms are inverse NTTs (their 1/N1 and
+    1/N2 factors compose to the full 1/N) and tw must be the inverse table —
+    the composition is the exact inverse transform."""
+    n1 = 1 << k1
+    small = ntt.intt if inverse else ntt.ntt
+    cols = jnp.moveaxis(block, 0, -2)  # (N2/ndev, N1, 16)
+    cols = small(cols, k1)  # step 1: (i)NTT over n1
+    b = jnp.moveaxis(cols, -2, 0)  # (N1, N2/ndev, 16)
+    b = limb.mont_mul(FR, b, tw)  # step 2: outer twiddle (local slice)
+    # step 3: all_to_all transpose — reshard from n2 to k1
+    b = b.reshape(ndev, n1 // ndev, b.shape[1], limb.L)
+    b = jax.lax.all_to_all(b, axis, split_axis=0, concat_axis=2, tiled=False)
+    b = b.reshape(n1 // ndev, 1 << k2, limb.L)
+    # step 4: (i)NTT over n2 rows
+    return small(b, k2)
+
+
 @functools.lru_cache(maxsize=None)
-def _ntt_body(mesh: Mesh, k1: int, k2: int, axis: str):
+def _ntt_body(mesh: Mesh, k1: int, k2: int, axis: str, inverse: bool):
     """jitted shard_map four-step NTT body (jit is essential: an un-jitted
     shard_map dispatches each primitive as its own SPMD compile)."""
-    n1, n2 = 1 << k1, 1 << k2
     ndev = mesh.shape[axis]
 
     @jax.jit
@@ -60,31 +84,23 @@ def _ntt_body(mesh: Mesh, k1: int, k2: int, axis: str):
         out_specs=P(axis, None, None),
     )
     def body(block, tw):
-        # block: (N1, N2/ndev, 16) — full columns for a slice of n2
-        cols = jnp.moveaxis(block, 0, -2)  # (N2/ndev, N1, 16)
-        cols = ntt.ntt(cols, k1)  # step 1: NTT over n1
-        b = jnp.moveaxis(cols, -2, 0)  # (N1, N2/ndev, 16)
-        b = limb.mont_mul(FR, b, tw)  # step 2: outer twiddle (local slice)
-        # step 3: all_to_all transpose — reshard from n2 to k1
-        b = b.reshape(ndev, n1 // ndev, b.shape[1], limb.L)
-        b = jax.lax.all_to_all(b, axis, split_axis=0, concat_axis=2, tiled=False)
-        b = b.reshape(n1 // ndev, n2, limb.L)
-        # step 4: NTT over n2 rows
-        return ntt.ntt(b, k2)
+        return four_step_local(block, tw, k1, k2, axis, ndev, inverse)
 
     return body
 
 
-def ntt_sharded(mesh: Mesh, a, k1: int, k2: int, axis: str = "data"):
+def ntt_sharded(mesh: Mesh, a, k1: int, k2: int, axis: str = "data",
+                inverse: bool = False):
     """a: (N1*N2, 16) Montgomery limbs, natural order, sharded (or shardable)
     on the mesh. Returns C of shape (N1, N2, 16) sharded along axis 0 with
-    X[k2*N1 + k1] = C[k1, k2]."""
+    X[k2*N1 + k1] = C[k1, k2]. inverse=True computes the inverse transform
+    (including the 1/n scale)."""
     n1, n2 = 1 << k1, 1 << k2
     ndev = mesh.shape[axis]
     assert n2 % ndev == 0 and n1 % ndev == 0
     a_mat = a.reshape(n1, n2, limb.L)
-    twiddle = jnp.asarray(_outer_twiddle(k1, k2, False))
-    return _ntt_body(mesh, k1, k2, axis)(a_mat, twiddle)
+    twiddle = jnp.asarray(_outer_twiddle(k1, k2, inverse))
+    return _ntt_body(mesh, k1, k2, axis, inverse)(a_mat, twiddle)
 
 
 def untranspose_host(c) -> np.ndarray:

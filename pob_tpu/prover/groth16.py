@@ -79,6 +79,9 @@ class ProvingKey:
     # device COO matrices (A with binding rows, B):
     # (rows i32, cols i32, coeffs c*R^2 (nnz,16))
     mats: tuple
+    # width-classified/compacted witness-MSM plan (attach_msm_plan); the
+    # prover falls back to plain full-width MSMs when absent
+    plan: object = None
 
 
 @dataclass
@@ -124,29 +127,43 @@ def _poly_evals_at_tau(coo, lag, nw):
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _window_table_kernel(group: str, gen):
+    """table[w, v] = v * 2^(8w) * G on device: 256 sequential doublings give
+    D[j] = 2^j G (one scan), then v*2^(8w)*G = sum over set bits i of v of
+    D[8w + i] — 8 masked point-adds at (32, 256) lane width."""
+    ops = curve.FqOps if group == "g1" else curve.Fq2Ops
+    g0 = tuple(c[0] for c in gen)
+
+    def dbl(p, _):
+        return curve.point_double(ops, p), p
+
+    _, D = jax.lax.scan(dbl, g0, None, length=256)  # D[j] = 2^j * G
+    Dw = tuple(c.reshape((msm.N_WINDOWS, 8) + c.shape[1:]) for c in D)
+    v = jnp.arange(256)
+    acc = curve.infinity(ops, (msm.N_WINDOWS, 256))
+    for i in range(8):
+        bit = jnp.broadcast_to(((v >> i) & 1).astype(bool), (msm.N_WINDOWS, 256))
+        base = tuple(
+            jnp.broadcast_to(c[:, i : i + 1], (msm.N_WINDOWS, 256) + c.shape[2:])
+            for c in Dw
+        )
+        acc = curve.point_select(ops, bit, curve.point_add(ops, acc, base), acc)
+    return acc
+
+
 @functools.lru_cache(maxsize=None)
 def _window_table(group: str):
-    """Host-built windowed fixed-base table: table[w][v] = v * 2^(8w) * G,
-    w in [0, 32), v in [0, 256). Returns device Jacobian arrays with leading
-    axes (N_WINDOWS, 256)."""
-    if group == "g1":
-        gen, add, to_dev = G1_GEN, g1_add, curve.g1_points_to_device
-    else:
-        from ..field.ref import g2_add
-
-        gen, add, to_dev = G2_GEN, g2_add, curve.g2_points_to_device
-    rows = []
-    base = gen
-    for _ in range(msm.N_WINDOWS):
-        row, acc = [None], None
-        for _ in range(255):
-            acc = add(acc, base)
-            row.append(acc)
-        rows.append(row)
-        for _ in range(8):  # base <- 256 * base
-            base = add(base, base)
-    dev = to_dev([p for row in rows for p in row])
-    return tuple(c.reshape((msm.N_WINDOWS, 256) + c.shape[1:]) for c in dev)
+    """Windowed fixed-base table: table[w][v] = v * 2^(8w) * G, w in [0, 32),
+    v in [0, 256), as device Jacobian arrays with leading axes (N_WINDOWS,
+    256). Built entirely on device (_window_table_kernel) — the host-Python
+    version did 8,160 sequential G2 adds and dominated setup latency."""
+    gen = (
+        curve.g1_points_to_device([G1_GEN])
+        if group == "g1"
+        else curve.g2_points_to_device([G2_GEN])
+    )
+    return _window_table_kernel(group, gen)
 
 
 _SETUP_CHUNK = 1 << 17
@@ -321,9 +338,12 @@ def _mats_to_device(host_mats):
     return tuple(out)
 
 
-def setup(cs: ConstraintSystem, rng=None) -> tuple[ProvingKey, VerifyingKey]:
+def setup(cs: ConstraintSystem, rng=None, plan: bool = True) -> tuple[ProvingKey, VerifyingKey]:
     """Trusted setup (toxic waste sampled locally — fine for benchmarking and
-    self-verification; production would use a ceremony)."""
+    self-verification; production would use a ceremony). plan=False skips the
+    classified-MSM plan (and its doubling-expansion compile) — useful where
+    compile latency matters more than prove throughput (dryruns, tiny
+    circuits)."""
     rnd = rng or (lambda: secrets.randbelow(FR_MOD - 1) + 1)
     tau, alpha, beta, gamma, delta = (rnd() for _ in range(5))
     npub = cs.num_public
@@ -384,6 +404,8 @@ def setup(cs: ConstraintSystem, rng=None) -> tuple[ProvingKey, VerifyingKey]:
         delta2=pk.delta2,
         ic=ic,
     )
+    if plan:
+        attach_msm_plan(pk, cs)
     return pk, vk
 
 
@@ -459,6 +481,304 @@ def _msm_batch_kernel(group: str, n_tiles: int, points, scalars):
     return jax.vmap(lambda s: small(points, s))(scalars)
 
 
+# ---------------------------------------------------------------------------
+# width-classified witness MSMs
+#
+# The witness of these circuits is overwhelmingly BITS: keccak state wires,
+# bit decompositions, one-hot selectors. A full 32-window Pippenger spends 32
+# bucket-adds per point regardless, so classifying wires once at key time and
+# running the bit-valued class through a single conditional-add sweep (1 add
+# per point instead of 32) removes ~30x of the a/b1/b2/l MSM work. The
+# classification is SOUND, not heuristic: a wire is in the bit class iff the
+# constraint system contains its booleanity row w*w = w (constrain_boolean's
+# exact single-term shape), which forces w in {0,1} for every satisfying
+# witness. Infinity query points (wires absent from the matrix, u_i(tau)=0)
+# are compacted away entirely — they contribute nothing for any scalar.
+# ---------------------------------------------------------------------------
+
+
+def classify_bit_wires(cs: ConstraintSystem) -> np.ndarray:
+    """(num_wires,) bool: wires that hold a bit in any satisfying witness.
+
+    Two sources, unioned:
+    1. blocks declared width=1 at allocation (the gadget contract — covers
+       keccak-internal wires whose booleanity is only provable by induction
+       from the source-bit constraints, gadgets_cs.py module docstring);
+    2. wires with an explicit booleanity row w*w = w in the COO (sound from
+       the matrices alone; covers unannotated circuits).
+    A wrong width annotation can only produce an invalid proof (self-verify
+    catches it); verification soundness is unaffected."""
+    declared = cs.bit_wires_declared() if hasattr(cs, "bit_wires_declared") else 0
+    ma, mb, mc, _pal = cs.matrices_indexed()
+    nrows = cs.num_constraints
+
+    def single(rows, cols, cidx):
+        cnt = np.bincount(rows, minlength=nrows)
+        is_single = cnt == 1
+        wire = np.full(nrows, -1, np.int64)
+        ok = np.zeros(nrows, bool)
+        m = is_single[rows]
+        wire[rows[m]] = cols[m]
+        ok[rows[m]] = cidx[m] == 0  # palette index 0 is the coefficient 1
+        return is_single, wire, ok
+
+    sa, wa, ka = single(*ma)
+    sb, wb, kb = single(*mb)
+    sc, wc, kc = single(*mc)
+    rows_bool = sa & sb & sc & ka & kb & kc & (wa == wb) & (wb == wc)
+    bit = np.zeros(cs.num_wires, bool)
+    bit[wa[rows_bool]] = True
+    return bit | declared
+
+
+@dataclass
+class MsmPlan:
+    """Classified/compacted witness-MSM data in ALL-BITS form.
+
+    Every query's MSM becomes ONE conditional-add sweep (`bitsum_msm`):
+    bit-class wires contribute their point with their 0/1 witness value as
+    the mask, and each FULL-width wire j is expanded at key time into 254
+    doubled points 2^k P_j whose masks are the bits of w_j (computed on
+    device from the witness limbs) — sum_j w_j P_j = sum_{j,k} bit_k(w_j)
+    (2^k P_j). The expansion multiplies the full-class point count by 254,
+    but full wires are <0.5% of these circuits (keccak-dominated witnesses),
+    so total work stays ~= one add per bit wire — ~30x less than 32-window
+    Pippenger over everything — and the whole a/b1/l (stacked, shared
+    shapes) and b2 computation is TWO compiled programs. Program count is a
+    stability constraint on the tunnel backend (see _stage docs in bench.py).
+
+    Arrays (q = stacked query axis; g1 order [a, b1, l], g2 [b2]):
+      g1_pts (3, M1, 16)x3   layout [bit pts | expanded full pts | inf pad]
+      g1_bit_idx (3, mb1)  g1_full_idx (3, mf1)   — absolute wire indices
+      g2_pts (1, M2, 2, 16)x3, g2_bit_idx (1, mb2), g2_full_idx (1, mf2)"""
+
+    g1_pts: tuple
+    g1_bit_idx: object
+    g1_full_idx: object
+    g2_pts: tuple
+    g2_bit_idx: object
+    g2_full_idx: object
+
+
+jax.tree_util.register_dataclass(
+    MsmPlan,
+    data_fields=[
+        "g1_pts", "g1_bit_idx", "g1_full_idx",
+        "g2_pts", "g2_bit_idx", "g2_full_idx",
+    ],
+    meta_fields=[],
+)
+
+FULL_BITS = 254  # witness values are field elements < 2^254
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _expand_doublings_kernel(group: str, pts):
+    """(mf, ...) Jacobian points -> (mf*FULL_BITS, ...) doubling chains
+    [P, 2P, 4P, ...] per point, wire-major."""
+    ops = curve.FqOps if group == "g1" else curve.Fq2Ops
+
+    def dbl(p, _):
+        return curve.point_double(ops, p), p
+
+    _, chain = jax.lax.scan(dbl, pts, None, length=FULL_BITS)  # (254, mf, ...)
+    return tuple(
+        jnp.moveaxis(c, 0, 1).reshape((-1,) + c.shape[2:]) for c in chain
+    )
+
+
+def attach_msm_plan(pk: ProvingKey, cs: ConstraintSystem,
+                    cache_path: str | None = None) -> ProvingKey:
+    """Build the all-bits plan (see MsmPlan) from the constraint system
+    (also call this after load_zkey/load_pk — the .zkey format drops the C
+    matrix, so the booleanity classification must come from the rebuilt
+    ConstraintSystem). cache_path persists the computed plan arrays (.npz),
+    skipping the device doubling-expansion on reload."""
+    if cache_path is not None:
+        import os
+
+        if os.path.exists(cache_path):
+            d = np.load(cache_path)
+            pk.plan = MsmPlan(
+                g1_pts=tuple(jnp.asarray(d[f"g1_pts{i}"]) for i in range(3)),
+                g1_bit_idx=jnp.asarray(d["g1_bit_idx"]),
+                g1_full_idx=jnp.asarray(d["g1_full_idx"]),
+                g2_pts=tuple(jnp.asarray(d[f"g2_pts{i}"]) for i in range(3)),
+                g2_bit_idx=jnp.asarray(d["g2_bit_idx"]),
+                g2_full_idx=jnp.asarray(d["g2_full_idx"]),
+            )
+            return pk
+
+    bit = classify_bit_wires(cs)
+    npub = cs.num_public
+
+    def masks(points, wire_offset: int):
+        z = np.asarray(points[-1])
+        live = ~(z.reshape(z.shape[0], -1) == 0).all(axis=1)
+        wires = np.arange(len(live)) + wire_offset
+        return bit[wires] & live, ~bit[wires] & live
+
+    raw = {
+        "a": (pk.a_query, 0),
+        "b1": (pk.b1_query, 0),
+        "b2": (pk.b2_query, 0),
+        "l": (pk.l_query, npub + 1),
+    }
+    sizes = {n: masks(p, off) for n, (p, off) in raw.items()}
+
+    def padded_to(n, mult):
+        n = max(n, 1)
+        mult = min(mult, 1 << (n - 1).bit_length())  # don't balloon tiny circuits
+        return -(-n // mult) * mult
+
+    def build(name, m_pts, m_bit, m_full):
+        """Point block [bit pts | expanded full pts | inf pad] + idx arrays."""
+        points, off = raw[name]
+        is_bit, is_full = sizes[name]
+        group = "g2" if name == "b2" else "g1"
+        bidx = np.nonzero(is_bit)[0].astype(np.int64)
+        fidx = np.nonzero(is_full)[0].astype(np.int64)
+        host_pts = [np.asarray(c) for c in points]
+        coords = []
+        one = limb.int_to_limbs((1 << 256) % curve.FQ_MOD)
+        if len(fidx):
+            fexp = _expand_doublings_kernel(
+                group, tuple(jnp.asarray(c[fidx]) for c in host_pts)
+            )
+            fexp = [np.asarray(c) for c in fexp]
+        for ci, c in enumerate(host_pts):
+            # layout MUST match the kernel's mask concat: bit block occupies
+            # the pooled m_bit positions, expanded block starts at m_bit —
+            # shorter queries leave infinity in their tails (their padded
+            # gather indices read wire 0 == 1, times infinity == no-op)
+            buf = np.zeros((m_pts,) + c.shape[1:], c.dtype)
+            buf[: len(bidx)] = c[bidx]
+            if len(fidx):
+                buf[m_bit : m_bit + len(fidx) * FULL_BITS] = fexp[ci]
+            if ci < 2:  # X, Y of infinity set to Montgomery 1 (Z stays 0)
+                buf[len(bidx) : m_bit] = one
+                buf[m_bit + len(fidx) * FULL_BITS :] = one
+            coords.append(buf)
+        bg = np.zeros(m_bit, np.int32)
+        bg[: len(bidx)] = bidx + off
+        fg = np.zeros(m_full, np.int32)
+        fg[: len(fidx)] = fidx + off
+        return coords, bg, fg
+
+    def group_arrays(names):
+        m_bit = max(int(sizes[n][0].sum()) for n in names)
+        m_full = max(max(int(sizes[n][1].sum()) for n in names), 1)
+        m_pts = padded_to(m_bit + m_full * FULL_BITS, 4096)
+        parts = [build(n, m_pts, m_bit, m_full) for n in names]
+        pts = tuple(
+            jnp.asarray(np.stack([p[0][ci] for p in parts])) for ci in range(3)
+        )
+        bidx = jnp.asarray(np.stack([p[1] for p in parts]))
+        fidx = jnp.asarray(np.stack([p[2] for p in parts]))
+        return pts, bidx, fidx
+
+    g1_pts, g1_bidx, g1_fidx = group_arrays(("a", "b1", "l"))
+    g2_pts, g2_bidx, g2_fidx = group_arrays(("b2",))
+    pk.plan = MsmPlan(
+        g1_pts=g1_pts, g1_bit_idx=g1_bidx, g1_full_idx=g1_fidx,
+        g2_pts=g2_pts, g2_bit_idx=g2_bidx, g2_full_idx=g2_fidx,
+    )
+    if cache_path is not None:
+        arrs = {"g1_bit_idx": np.asarray(g1_bidx),
+                "g1_full_idx": np.asarray(g1_fidx),
+                "g2_bit_idx": np.asarray(g2_bidx),
+                "g2_full_idx": np.asarray(g2_fidx)}
+        for i in range(3):
+            arrs[f"g1_pts{i}"] = np.asarray(g1_pts[i])
+            arrs[f"g2_pts{i}"] = np.asarray(g2_pts[i])
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrs)
+        import os
+
+        os.replace(tmp, cache_path)
+    return pk
+
+
+def bitsum_msm(ops, points, bits, n_tiles: int = 64):
+    """Sum of points[i] where bits[i] == 1: one conditional add per point,
+    tiled like pippenger_msm. points: Jacobian leading axis m; bits: (m,)."""
+    m = int(points[0].shape[0])
+    T = 1 << max(0, (min(n_tiles, max(1, m)) - 1).bit_length())
+    t = -(-m // T)
+    pad = T * t - m
+    if pad:
+        inf = curve.infinity(ops, (pad,))
+        points = tuple(jnp.concatenate([c, i], axis=0) for c, i in zip(points, inf))
+        bits = jnp.concatenate([bits, jnp.zeros((pad,), bits.dtype)])
+    pts = tuple(jnp.moveaxis(c.reshape((T, t) + c.shape[1:]), 1, 0) for c in points)
+    bts = jnp.moveaxis(bits.reshape(T, t), 1, 0)  # (t, T)
+
+    def step(acc, x):
+        p, bvec = x
+        added = curve.point_add(ops, acc, p)
+        return curve.point_select(ops, bvec.astype(bool), added, acc), None
+
+    acc, _ = jax.lax.scan(step, curve.infinity(ops, (T,)), (pts, bts))
+    return curve.tree_reduce(ops, acc)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _planned_group_kernel(group: str, n_tiles: int, pts, bit_idx, full_idx, W):
+    """All of a group's witness-MSM queries as ONE all-bits sweep program.
+
+    pts: (q, M, ...) point blocks [bit pts | expanded full pts | inf pad];
+    bit_idx (q, mb) / full_idx (q, mf) absolute wire gathers into W
+    (B, nw, 16). Masks: bit wires contribute their 0/1 value directly; full
+    wires contribute their 254 value bits against the pre-doubled points.
+    Returns (q, B) Jacobian sums.
+
+    One program per group (two total) — program count is a stability
+    constraint on the tunnel backend (see bench.py stage docs), and the
+    all-bits form needs no separate full-width MSM or recombination step."""
+    ops = curve.FqOps if group == "g1" else curve.Fq2Ops
+    q, M = pts[0].shape[0], pts[0].shape[1]
+    bits_b = jnp.moveaxis(jnp.take(W, bit_idx, axis=1)[..., 0] & 1, 0, 1)  # (q,B,mb)
+    full_sc = jnp.moveaxis(jnp.take(W, full_idx, axis=1), 0, 1)  # (q,B,mf,16)
+    bits_f = limb.limbs_to_bits_le(full_sc, FULL_BITS).astype(jnp.uint32)
+    bits_f = bits_f.reshape(bits_f.shape[:2] + (-1,))  # (q, B, mf*254)
+    bits = jnp.concatenate([bits_b.astype(jnp.uint32), bits_f], axis=-1)
+    pad = M - bits.shape[-1]
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(bits.shape[:-1] + (pad,), jnp.uint32)], axis=-1
+        )
+    return jax.vmap(
+        lambda p, bb: jax.vmap(lambda b: bitsum_msm(ops, p, b, n_tiles))(bb)
+    )(pts, bits)
+
+
+def _msm_batched_g2(points, scalars):
+    """G2 MSM over a batch, chunked along the batch axis. Fq2 point-adds carry
+    ~2x the widening intermediates of G1 and the batched G2 Pippenger is what
+    killed the TPU worker in round 3's bench (BENCH_r03: kernel fault at
+    B=16) when it ran with the rest of the prover's buffers resident — the
+    chunk bound keeps the G2 stage's peak live memory at a fraction of the
+    G1 stages'. POB_G2_BATCH_CHUNK overrides (0 = unchunked)."""
+    import os
+
+    B = int(scalars.shape[0])
+    chunk = int(os.environ.get("POB_G2_BATCH_CHUNK", "4")) or B
+    chunk = min(chunk, B)
+    n_tiles = max(8, 64 // chunk)
+    outs = [
+        _msm_batch_kernel("g2", n_tiles, points, scalars[i : i + chunk])
+        for i in range(0, B - B % chunk, chunk)
+    ]
+    if B % chunk:  # ragged tail: per-proof calls reuse the B=1-shaped program
+        tail = scalars[B - B % chunk :]
+        outs += [
+            _msm_batch_kernel("g2", max(8, 64 // 1), points, tail[j : j + 1])
+            for j in range(int(tail.shape[0]))
+        ]
+    return tuple(jnp.concatenate([o[c] for o in outs], axis=0) for c in range(3))
+
+
 def _single_scalar_mul(ops, point_host, scalar: int):
     dev = (
         curve.g1_points_to_device([point_host])
@@ -494,14 +814,26 @@ def prove_batch(pk: ProvingKey, witness_batch, rs=None):
     n_tiles = max(8, 64 // max(1, B))
     h = _h_batch_kernel(pk.k, pk.mats, W)
     npub = pk.num_public
-    a_sum = _msm_batch_kernel("g1", n_tiles, pk.a_query, W)
-    b1_sum = _msm_batch_kernel("g1", n_tiles, pk.b1_query, W)
-    b2_sum = _msm_batch_kernel("g2", n_tiles, pk.b2_query, W)
-    c_l = (
-        _msm_batch_kernel("g1", n_tiles, pk.l_query, W[:, npub + 1 :])
-        if int(pk.l_query[0].shape[0]) > 0
-        else None
-    )
+    if pk.plan is not None:
+        bit_tiles = int(__import__("os").environ.get("POB_BIT_TILES", "2048"))
+        p = pk.plan
+        g1 = _planned_group_kernel("g1", bit_tiles, p.g1_pts, p.g1_bit_idx,
+                                   p.g1_full_idx, W)
+        g2 = _planned_group_kernel("g2", bit_tiles, p.g2_pts, p.g2_bit_idx,
+                                   p.g2_full_idx, W)
+        a_sum = tuple(c[0] for c in g1)
+        b1_sum = tuple(c[1] for c in g1)
+        c_l = tuple(c[2] for c in g1)
+        b2_sum = tuple(c[0] for c in g2)
+    else:
+        a_sum = _msm_batch_kernel("g1", n_tiles, pk.a_query, W)
+        b1_sum = _msm_batch_kernel("g1", n_tiles, pk.b1_query, W)
+        b2_sum = _msm_batched_g2(pk.b2_query, W)
+        c_l = (
+            _msm_batch_kernel("g1", n_tiles, pk.l_query, W[:, npub + 1 :])
+            if int(pk.l_query[0].shape[0]) > 0
+            else None
+        )
     c_h = _msm_batch_kernel("g1", n_tiles, pk.h_query, h)
     sums = (a_sum, b1_sum, b2_sum, c_l, c_h)
     proofs = []
@@ -557,6 +889,105 @@ def verify(vk: VerifyingKey, proof, public_inputs) -> bool:
             (C, vk.delta2),
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# fast native key cache (npz of raw device arrays)
+#
+# write_zkey/load_zkey stay the snarkjs-compatible interchange path; this is
+# the bench/ops cache: no affine conversion on write (the .zkey writer's
+# batched Fermat inversions cost minutes at 2^18) and no per-coefficient
+# python parse on load — just raw limb arrays.
+# ---------------------------------------------------------------------------
+
+
+def _enc_int(x: int) -> np.ndarray:
+    return np.frombuffer(int(x).to_bytes(32, "little"), np.uint8)
+
+
+def _enc_g1(p) -> np.ndarray:
+    if p is None:
+        return np.zeros(64, np.uint8)
+    return np.concatenate([_enc_int(p[0]), _enc_int(p[1])])
+
+
+def _enc_g2(p) -> np.ndarray:
+    if p is None:
+        return np.zeros(128, np.uint8)
+    return np.concatenate([_enc_int(v) for c in p for v in c])
+
+
+def _dec_int(a) -> int:
+    return int.from_bytes(bytes(a), "little")
+
+
+def _dec_g1(a):
+    x, y = _dec_int(a[:32]), _dec_int(a[32:])
+    return None if x == 0 and y == 0 else (x, y)
+
+
+def _dec_g2(a):
+    v = [_dec_int(a[32 * i : 32 * (i + 1)]) for i in range(4)]
+    return None if all(c == 0 for c in v) else ((v[0], v[1]), (v[2], v[3]))
+
+
+def save_pk(path: str, pk: ProvingKey, vk: VerifyingKey):
+    """Persist pk+vk as raw arrays (seconds, vs minutes for write_zkey)."""
+    arrs = {
+        "k": np.int64(pk.k),
+        "num_public": np.int64(pk.num_public),
+        "alpha1": _enc_g1(pk.alpha1), "beta1": _enc_g1(pk.beta1),
+        "delta1": _enc_g1(pk.delta1), "beta2": _enc_g2(pk.beta2),
+        "delta2": _enc_g2(pk.delta2), "gamma2": _enc_g2(vk.gamma2),
+        "ic": np.stack([_enc_g1(p) for p in vk.ic]),
+    }
+    for name in ("a_query", "b1_query", "b2_query", "l_query", "h_query"):
+        for ci, c in enumerate(getattr(pk, name)):
+            arrs[f"{name}{ci}"] = np.asarray(c)
+    for mi, (rows, cols, cf) in enumerate(pk.mats):
+        arrs[f"m{mi}_rows"] = np.asarray(rows)
+        arrs[f"m{mi}_cols"] = np.asarray(cols)
+        arrs[f"m{mi}_cf"] = np.asarray(cf)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrs)
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_pk(path: str) -> tuple[ProvingKey, VerifyingKey]:
+    d = np.load(path)
+    pk = ProvingKey(
+        k=int(d["k"]),
+        num_public=int(d["num_public"]),
+        alpha1=_dec_g1(d["alpha1"]),
+        beta1=_dec_g1(d["beta1"]),
+        delta1=_dec_g1(d["delta1"]),
+        beta2=_dec_g2(d["beta2"]),
+        delta2=_dec_g2(d["delta2"]),
+        a_query=tuple(jnp.asarray(d[f"a_query{i}"]) for i in range(3)),
+        b1_query=tuple(jnp.asarray(d[f"b1_query{i}"]) for i in range(3)),
+        b2_query=tuple(jnp.asarray(d[f"b2_query{i}"]) for i in range(3)),
+        l_query=tuple(jnp.asarray(d[f"l_query{i}"]) for i in range(3)),
+        h_query=tuple(jnp.asarray(d[f"h_query{i}"]) for i in range(3)),
+        mats=tuple(
+            (
+                jnp.asarray(d[f"m{mi}_rows"]),
+                jnp.asarray(d[f"m{mi}_cols"]),
+                jnp.asarray(d[f"m{mi}_cf"]),
+            )
+            for mi in range(2)
+        ),
+    )
+    vk = VerifyingKey(
+        alpha1=pk.alpha1,
+        beta2=pk.beta2,
+        gamma2=_dec_g2(d["gamma2"]),
+        delta2=pk.delta2,
+        ic=[_dec_g1(p) for p in d["ic"]],
+    )
+    return pk, vk
 
 
 # ---------------------------------------------------------------------------

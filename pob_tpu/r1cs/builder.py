@@ -59,6 +59,12 @@ class WitnessBlock:
     name: str
     start: int
     shape: tuple
+    # declared max bit-width of the block's values in any satisfying witness
+    # (a gadget contract: 1 = boolean wires). Used by the prover's
+    # width-classified MSM plan; a wrong annotation can only yield an invalid
+    # proof (completeness), never unsound acceptance — verification is
+    # pairing-based.
+    width: int = 254
 
 
 class ConstraintSystem:
@@ -99,14 +105,24 @@ class ConstraintSystem:
 
     # ---- wires ----
 
-    def alloc_block(self, name: str, shape) -> np.ndarray:
-        """Allocate a named contiguous block of wires; returns index array."""
+    def alloc_block(self, name: str, shape, width: int = 254) -> np.ndarray:
+        """Allocate a named contiguous block of wires; returns index array.
+        width declares the values' max bit-width (see WitnessBlock.width)."""
         shape = tuple(int(s) for s in shape)
         n = int(np.prod(shape)) if shape else 1
         start = self.num_wires
         self.num_wires += n
-        self.blocks.append(WitnessBlock(name, start, shape))
+        self.blocks.append(WitnessBlock(name, start, shape, width))
         return np.arange(start, start + n, dtype=np.int64).reshape(shape)
+
+    def bit_wires_declared(self) -> np.ndarray:
+        """(num_wires,) bool mask of wires in width-1 (boolean) blocks."""
+        mask = np.zeros(self.num_wires, bool)
+        for blk in self.blocks:
+            if blk.width == 1:
+                n = int(np.prod(blk.shape)) if blk.shape else 1
+                mask[blk.start : blk.start + n] = True
+        return mask
 
     def mark_public(self, n: int):
         """The first n allocated wires (1..n) are public."""

@@ -46,7 +46,7 @@ def one_hot_cs(cs: ConstraintSystem, name: str, n: int, index_lc: dict):
     Replaces circom's IsEqual-per-position pattern (selector.circom:21-46,
     Filter, Pad) without inverse hints; unsatisfiable when index is outside
     [0, n) — the same rejection circom's `sumIsEq === 1` provides."""
-    oh = cs.alloc_block(name, (n,))
+    oh = cs.alloc_block(name, (n,), width=1)
     constrain_boolean(cs, oh)
     total = lc_add(*[lc_wire(int(w)) for w in oh])
     constrain_linear_zero(cs, lc_sub(total, lc_const(1)))
@@ -60,7 +60,7 @@ def prefix_filter_cs(cs: ConstraintSystem, name: str, oh):
     array.circom:26-40). Linear chain of wires, one bulk chunk:
     f[0] - (1 - oh[0]) = 0;  f[i] - f[i-1] + oh[i] = 0."""
     n = len(oh)
-    f = cs.alloc_block(name, (n,))
+    f = cs.alloc_block(name, (n,), width=1)
     rows = np.arange(n)
     a = [
         (rows, np.asarray(f, np.int64), 1),
@@ -78,7 +78,7 @@ def is_zero_cs(cs: ConstraintSystem, name: str, x_lcs: list):
     out = 1 - x*inv and x*out = 0."""
     n = len(x_lcs)
     inv = cs.alloc_block(f"{name}_inv", (n,))
-    out = cs.alloc_block(f"{name}_out", (n,))
+    out = cs.alloc_block(f"{name}_out", (n,), width=1)
     for i, x in enumerate(x_lcs):
         cs.add(
             lc_terms(x),
@@ -92,7 +92,7 @@ def is_zero_cs(cs: ConstraintSystem, name: str, x_lcs: list):
 def lt_bit_cs(cs: ConstraintSystem, name: str, a_lc: dict, b_lc: dict, k: int):
     """Boolean a < b for values already range-checked to k bits (circomlib
     LessThan): decompose a + 2^k - b into k+1 bits; out = 1 - bits[k]."""
-    bits = cs.alloc_block(name, (k + 1,))
+    bits = cs.alloc_block(name, (k + 1,), width=1)
     val = lc_add(a_lc, lc_const(1 << k), lc_scale(b_lc, FR_MOD - 1))
     constrain_decomposition(cs, val, bits)
     return lc_sub(lc_const(1), lc_wire(int(bits[k])))
@@ -102,7 +102,7 @@ def mult_and_cs(cs: ConstraintSystem, name: str, bit_lcs: list):
     """AND of boolean LCs via a product chain; returns the output LC."""
     if len(bit_lcs) == 1:
         return bit_lcs[0]
-    acc_w = cs.alloc_block(name, (len(bit_lcs) - 1,))
+    acc_w = cs.alloc_block(name, (len(bit_lcs) - 1,), width=1)
     acc = bit_lcs[0]
     for i in range(1, len(bit_lcs)):
         mul_lc(cs, int(acc_w[i - 1]), acc, bit_lcs[i])
@@ -171,7 +171,7 @@ def strict_bits_cs(cs: ConstraintSystem, name: str, bit_wires):
     n = len(b)
     assert n == 254, "strict check is defined for full-width decompositions"
     k = P_MINUS_1_BITS
-    eq = cs.alloc_block(f"{name}_eq", (n,))
+    eq = cs.alloc_block(f"{name}_eq", (n,), width=1)
     rows = np.arange(n)
     ones = np.nonzero(k == 1)[0]
     zeros = STRICT_ZERO_POS
@@ -188,7 +188,7 @@ def strict_bits_cs(cs: ConstraintSystem, name: str, bit_wires):
     cs.add_bulk(n, a=a, b=bgrp, c=[(rows, np.asarray(eq, np.int64), 1)])
 
     m = len(zeros)
-    gt = cs.alloc_block(f"{name}_gt", (m,))
+    gt = cs.alloc_block(f"{name}_gt", (m,), width=1)
     grows = np.arange(m)
     # gt[m] = eq[i_m + 1] * b_{i_m}; i_m < 253 always (MSB of p-1 is 1)
     cs.add_bulk(
@@ -474,11 +474,11 @@ def keccak_f_cs(cs: ConstraintSystem, name: str, state_lcs):
       {name}_co    (24, 25, 64)    chi output (pre-iota)
     Internal wires carry no boolean constraints: every one is the XOR/AND of
     boolean operands and therefore boolean by construction."""
-    tc = cs.alloc_block(f"{name}_tc", (24, 4, 5, 64))
-    dd = cs.alloc_block(f"{name}_d", (24, 5, 64))
-    to = cs.alloc_block(f"{name}_to", (24, 25, 64))
-    ca = cs.alloc_block(f"{name}_ca", (24, 25, 64))
-    co = cs.alloc_block(f"{name}_co", (24, 25, 64))
+    tc = cs.alloc_block(f"{name}_tc", (24, 4, 5, 64), width=1)
+    dd = cs.alloc_block(f"{name}_d", (24, 5, 64), width=1)
+    to = cs.alloc_block(f"{name}_to", (24, 25, 64), width=1)
+    ca = cs.alloc_block(f"{name}_ca", (24, 25, 64), width=1)
+    co = cs.alloc_block(f"{name}_co", (24, 25, 64), width=1)
 
     s = _as_bits(state_lcs)
     for r in range(24):
@@ -519,7 +519,7 @@ def keccak_f_cs(cs: ConstraintSystem, name: str, state_lcs):
 def keccak_absorb_xor_cs(cs: ConstraintSystem, name: str, state, block_bits):
     """XOR a 17x64 message-bit block into a _Bits state; returns new _Bits
     state (lanes 17-24 pass through). block_bits: _Bits/_DictBits (17, 64)."""
-    ax = cs.alloc_block(name, (17, 64))
+    ax = cs.alloc_block(name, (17, 64), width=1)
     emit_xor(cs, ax, state.take(0, 17).groups(), block_bits.groups())
     out = _Bits.from_wires(np.concatenate([np.asarray(ax, np.int64).reshape(17, 64),
                                            np.zeros((8, 64), np.int64)], axis=0))
@@ -573,11 +573,11 @@ def keccak_bytes_cs(cs: ConstraintSystem, name: str, byte_lcs: list, in_len_lc: 
     # numBlocks = inLen \ 136 + 1 (Divide, divide.circom:17-33)
     div = cs.alloc_block(f"{name}_div", (1,))
     div_lc = lc_wire(int(div[0]))
-    rem_bits = cs.alloc_block(f"{name}_rem_bits", (8,))
+    rem_bits = cs.alloc_block(f"{name}_rem_bits", (8,), width=1)
     rem_lc = bits_lc(rem_bits)
     constrain_boolean(cs, rem_bits)
     # rem < 136: decompose 135 - rem into 8 bits
-    rem_hi = cs.alloc_block(f"{name}_rem_hi_bits", (8,))
+    rem_hi = cs.alloc_block(f"{name}_rem_hi_bits", (8,), width=1)
     constrain_decomposition(cs, lc_sub(lc_const(135), rem_lc), rem_hi)
     # inLen = div*136 + rem
     constrain_linear_zero(
@@ -590,7 +590,7 @@ def keccak_bytes_cs(cs: ConstraintSystem, name: str, byte_lcs: list, in_len_lc: 
     filt = prefix_filter_cs(cs, f"{name}_filter", len_oh)
 
     # padded[i] = in[i]*filter[i] + 0x01*len_oh[i] + 0x80*blk_oh[i/136]@block-end
-    padded = cs.alloc_block(f"{name}_padded", (max_bytes,))
+    padded = cs.alloc_block(f"{name}_padded", (max_bytes,), width=8)
     rows = np.arange(max_bytes)
     in_groups = _DictBits([byte_lcs]).groups()  # single row of max_bytes LCs
     last_rows = rows[rows % 136 == 135]
@@ -604,7 +604,7 @@ def keccak_bytes_cs(cs: ConstraintSystem, name: str, byte_lcs: list, in_len_lc: 
                 b=[(rows, np.asarray(filt, np.int64), 1)], c=c_groups)
 
     # byte range-check: padded = sum 2^k pbits, pbits boolean (Num2Bits(8))
-    pbits = cs.alloc_block(f"{name}_pbits", (max_bytes, 8))
+    pbits = cs.alloc_block(f"{name}_pbits", (max_bytes, 8), width=1)
     constrain_boolean(cs, pbits)
     a_groups = [(rows, np.asarray(pbits[:, k], np.int64), 1 << k) for k in range(8)]
     a_groups.append((rows, np.asarray(padded, np.int64), _NEG1))
@@ -633,7 +633,7 @@ def keccak_bytes_cs(cs: ConstraintSystem, name: str, byte_lcs: list, in_len_lc: 
         digest_states.append(state)
 
     # digest select: out_bit = sum_b blk_oh[b] * state_b[bit]
-    sel = cs.alloc_block(f"{name}_sel", (max_blocks, 256))
+    sel = cs.alloc_block(f"{name}_sel", (max_blocks, 256), width=1)
     n = max_blocks * 256
     rows = np.arange(n)
     a_g = [(rows, np.repeat(np.asarray(blk_oh, np.int64), 256), 1)]

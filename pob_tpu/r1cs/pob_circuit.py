@@ -59,7 +59,7 @@ _POW_TAIL = [69, 73, 80, 45, 55, 53, 48, 51]  # "EIP-7503" (proof_of_work.circom
 
 
 def _dec(cs, name, lc, width):
-    bits = cs.alloc_block(name, (width,))
+    bits = cs.alloc_block(name, (width,), width=1)
     constrain_decomposition(cs, lc, bits)
     return bits
 
@@ -188,7 +188,7 @@ def mpt_leaf_cs(cs: ConstraintSystem, name: str, nib_lcs, nib_len_lc,
     _dec(cs, f"{name}_lenmax", lc_sub(lc_const(64), nib_len_lc), 7)
     # ShiftLeft(64)(nibbles, 64 - len)
     ohc = one_hot_cs(cs, f"{name}_shoh", 65, lc_sub(lc_const(64), nib_len_lc))
-    shp = cs.alloc_block(f"{name}_shp", (65, 64))
+    shp = cs.alloc_block(f"{name}_shp", (65, 64), width=4)
     for j in range(65):
         for i in range(64):
             if i + j < 64:
@@ -197,7 +197,7 @@ def mpt_leaf_cs(cs: ConstraintSystem, name: str, nib_lcs, nib_len_lc,
                 constrain_linear_zero(cs, lc_wire(int(shp[j, i])))
     shifted = [lc_add(*[lc_wire(int(shp[j, i])) for j in range(65)]) for i in range(64)]
     # div/rem of len by 2
-    rem = cs.alloc_block(f"{name}_rem", (1,))
+    rem = cs.alloc_block(f"{name}_rem", (1,), width=1)
     constrain_boolean(cs, rem)
     rem_lc = lc_wire(int(rem[0]))
     div = cs.alloc_block(f"{name}_div", (1,))
@@ -226,7 +226,7 @@ def mpt_leaf_cs(cs: ConstraintSystem, name: str, nib_lcs, nib_len_lc,
     # RlpInteger(31)(balance) (rlp/integer.circom:67-110)
     bal_bytes = [_value_byte_lc(balance_bits, j + 1, 248) for j in range(31)]
     bz = is_zero_cs(cs, f"{name}_bz", bal_bytes)
-    sz = cs.alloc_block(f"{name}_sz", (31,))
+    sz = cs.alloc_block(f"{name}_sz", (31,), width=1)
     constrain_linear_zero(cs, lc_sub(lc_wire(int(sz[0])), lc_wire(int(bz[0]))))
     for i in range(1, 31):
         cs.add([(int(bz[i]), 1)], [(int(sz[i - 1]), 1)], [(int(sz[i]), 1)])
@@ -313,9 +313,9 @@ def build_pob_cs(cfg: PoBConfig) -> ConstraintSystem:
     bk, act, inten, rev, bex, nib_len, nlay, hlen, relax, pex = (
         lc_wire(int(w)) for w in sc
     )
-    layers_w = cs.alloc_block("layers", (L, NB))
+    layers_w = cs.alloc_block("layers", (L, NB), width=8)
     lens_w = cs.alloc_block("layer_lens", (L,))
-    hdr_w = cs.alloc_block("header", (HB,))
+    hdr_w = cs.alloc_block("header", (HB,), width=8)
     layer_lcs = [[lc_wire(int(w)) for w in layers_w[i]] for i in range(L)]
     hdr_lcs = [lc_wire(int(w)) for w in hdr_w]
     len_lcs = [lc_wire(int(w)) for w in lens_w]
@@ -339,12 +339,12 @@ def build_pob_cs(cfg: PoBConfig) -> ConstraintSystem:
     _dec(cs, "v_hlen", hlen, 16)
     _dec(cs, "v_hlenmax", lc_sub(lc_const(HB * 8 - 1), hlen), 16)
     # AssertByteString on every layer/header byte (:100-105)
-    lb = cs.alloc_block("layer_bits", (L, NB, 8))
+    lb = cs.alloc_block("layer_bits", (L, NB, 8), width=1)
     constrain_boolean(cs, lb)
     for i in range(L):
         for j in range(NB):
             constrain_linear_zero(cs, lc_sub(bits_lc(lb[i, j]), layer_lcs[i][j]))
-    hb = cs.alloc_block("header_bits", (HB, 8))
+    hb = cs.alloc_block("header_bits", (HB, 8), width=1)
     constrain_boolean(cs, hb)
     for j in range(HB):
         constrain_linear_zero(cs, lc_sub(bits_lc(hb[j]), hdr_lcs[j]))

@@ -51,9 +51,9 @@ def build_spend_cs() -> ConstraintSystem:
     inp = cs.alloc_block("inputs", (4,))  # burnKey, balance, withdrawn, extra
     bk, bal, wd, ex = (lc_wire(int(w)) for w in inp)
 
-    bal_bits = cs.alloc_block("balance_bits", (248,))
-    wd_bits = cs.alloc_block("withdrawn_bits", (_N_BITS,))
-    diff_bits = cs.alloc_block("diff_bits", (248,))
+    bal_bits = cs.alloc_block("balance_bits", (248,), width=1)
+    wd_bits = cs.alloc_block("withdrawn_bits", (_N_BITS,), width=1)
+    diff_bits = cs.alloc_block("diff_bits", (248,), width=1)
     # AssertGreaterEqThan(248)(balance, withdrawn) (spend.circom:41):
     # balance < 2^248, withdrawn < 2^248, balance - withdrawn in [0, 2^248)
     constrain_decomposition(cs, bal, bal_bits)
@@ -66,9 +66,9 @@ def build_spend_cs() -> ConstraintSystem:
     coin = poseidon_cs(cs, "pc", [prefix, bk, bal])  # (:43)
     remaining = poseidon_cs(cs, "pr", [prefix, bk, lc_sub(bal, wd)])  # (:44)
 
-    coin_bits = cs.alloc_block("coin_bits", (_N_BITS,))
-    rem_bits = cs.alloc_block("remaining_bits", (_N_BITS,))
-    ex_bits = cs.alloc_block("extra_bits", (_N_BITS,))
+    coin_bits = cs.alloc_block("coin_bits", (_N_BITS,), width=1)
+    rem_bits = cs.alloc_block("remaining_bits", (_N_BITS,), width=1)
+    ex_bits = cs.alloc_block("extra_bits", (_N_BITS,), width=1)
     # full-width decompositions need the Num2Bits_strict alias check
     # (convert.circom:46-56): without it the x + p encoding binds a different
     # keccak message (hence a different commitment) to the same field values.

@@ -15,7 +15,24 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # persistent compilation cache: the mont-arithmetic graphs dominate suite
 # runtime via XLA compile time on the 2-core CI host; cache across runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_pob")
+# The dir is HOST-KEYED: XLA:CPU AOT results embed the compile machine's CPU
+# features and loading an entry produced on a different host SIGILLs (we hit
+# exactly this with a cache shared across bench hosts — cpu_aot_loader.cc
+# warns, then jax segfaults in compile/serialize).
+
+
+def _host_cache_dir() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    return "/tmp/jax_cache_pob_" + hashlib.md5(flags.encode()).hexdigest()[:10]
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _host_cache_dir())
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 

@@ -42,6 +42,79 @@ def test_ntt_sharded_matches_local():
     assert np.array_equal(x, local)
 
 
+def _medium_cs(n_mul: int = 58):
+    """x, y secret; chain w_{i+1} = w_i * w_i; publics [z1, z2]. Enough
+    constraints for a 2^6 domain so the sharded h pipeline 2D-decomposes over
+    8 devices (needs 2^k1 and 2^k2 divisible by the mesh size)."""
+    from pob_tpu.r1cs.builder import ConstraintSystem
+
+    cs = ConstraintSystem()
+    pub = cs.alloc_block("pub", (2,))
+    cs.mark_public(2)
+    priv = cs.alloc_block("priv", (2,))
+    chain = cs.alloc_block("chain", (n_mul,))
+    x, y = int(priv[0]), int(priv[1])
+    cs.add([(x, 1)], [(y, 1)], [(int(chain[0]), 1)])
+    for i in range(1, n_mul):
+        cs.add([(int(chain[i - 1]), 1)], [(int(chain[i - 1]), 1)],
+               [(int(chain[i]), 1)])
+    cs.add([(int(chain[n_mul - 1]), 1)], [(x, 1)], [(int(pub[0]), 1)])
+    cs.add([(int(chain[n_mul - 1]), 1)], [(y, 1)], [(int(pub[1]), 1)])
+    return cs
+
+
+def _medium_witness(x: int, y: int, n_mul: int = 58):
+    chain = [x * y % FR_MOD]
+    for _ in range(1, n_mul):
+        chain.append(chain[-1] * chain[-1] % FR_MOD)
+    z1 = chain[-1] * x % FR_MOD
+    z2 = chain[-1] * y % FR_MOD
+    return [1, z1, z2, x, y] + chain, [z1, z2]
+
+
+def test_prove_sharded_mesh_invariant():
+    """One Groth16 proof computed across the mesh (point-sharded MSMs +
+    all_to_all four-step h pipeline, dist/prove_sharded.py) must equal the
+    single-device prover's proof bit-for-bit at fixed blinding (r, s), for
+    every mesh size — and pairing-verify."""
+    from pob_tpu.dist.prove_sharded import prove_sharded, shard_pk
+    from pob_tpu.prover import groth16
+
+    cs = _medium_cs()
+    pk, vk = groth16.setup(cs)
+    w, pub = _medium_witness(31415, 92653)
+    assert cs.check_witness(w)
+    witness = limb.ints_to_limbs(w)
+    reference = groth16.prove(pk, witness, r=1234, s=5678)
+    assert groth16.verify(vk, reference, pub)
+
+    for nd in (1, 2, 8):
+        spk = shard_pk(pk, data_mesh(nd))
+        proof = prove_sharded(spk, witness, r=1234, s=5678)
+        assert proof == reference, f"mesh size {nd} must reproduce the proof"
+    assert not groth16.verify(vk, reference, [pub[0], (pub[1] + 1) % FR_MOD])
+
+
+def test_compute_h_sharded_matches_local():
+    """The sharded h pipeline (inverse four-step -> coset scale -> forward
+    four-step, permuted layout) must agree elementwise with the local
+    compute_h under the key's permutation."""
+    from pob_tpu.dist.prove_sharded import compute_h_sharded, shard_pk
+    from pob_tpu.prover import groth16
+
+    cs = _medium_cs()
+    pk, _vk = groth16.setup(cs)
+    w, _pub = _medium_witness(7, 11)
+    witness = jnp.asarray(limb.ints_to_limbs(w))
+    local = np.asarray(groth16.compute_h(pk, witness))
+    spk = shard_pk(pk, data_mesh(8))
+    sharded = np.asarray(compute_h_sharded(spk, witness))
+    n1, n2 = 1 << spk.k1, 1 << spk.k2
+    q = np.arange(1 << pk.k)
+    perm = (q % n1) * n2 + q // n1
+    assert np.array_equal(sharded, local[perm])
+
+
 def test_dryrun_entrypoints():
     import __graft_entry__ as ge
 

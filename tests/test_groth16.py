@@ -70,6 +70,47 @@ def test_groth16_prove_batch():
     assert not groth16.verify(vk, proofs[1], other)
 
 
+def bit_cs():
+    """Circuit with a bit-decomposition: x private, publics [x], constraint
+    x = sum 2^i b_i with b_i boolean — exercises the width-classified MSM
+    plan (bit wires through the conditional-add sweep)."""
+    cs = ConstraintSystem()
+    pub = cs.alloc_block("pub", (1,))
+    cs.mark_public(1)
+    x = cs.alloc_block("x", (1,))
+    bits = cs.alloc_block("bits", (16,))
+    for b in bits:
+        cs.add([(int(b), 1)], [(int(b), 1)], [(int(b), 1)])  # b*b = b
+    recomp = [(int(bits[i]), 1 << i) for i in range(16)]
+    cs.add(recomp + [(int(x[0]), FR_MOD - 1)], [(0, 1)], [])
+    cs.add([(int(x[0]), 1)], [(0, 1)], [(int(pub[0]), 1)])
+    return cs
+
+
+def test_classified_msm_plan_matches_plain():
+    """classify_bit_wires must find exactly the booleanity-constrained wires,
+    and the planned (classified/compacted) prover must produce bit-identical
+    proofs to the plain full-width path."""
+    cs = bit_cs()
+    x = 0xBEEF
+    w = [1, x, x] + [(x >> i) & 1 for i in range(16)]
+    assert cs.check_witness(w)
+
+    bit = groth16.classify_bit_wires(cs)
+    assert not bit[0] and not bit[1] and not bit[2]
+    assert bit[3:19].all(), "all 16 decomposition bits must classify as bits"
+
+    pk, vk = groth16.setup(cs)
+    assert pk.plan is not None
+    witness = limb.ints_to_limbs(w)
+    planned = groth16.prove(pk, witness, r=99, s=77)
+    plan, pk.plan = pk.plan, None
+    plain = groth16.prove(pk, witness, r=99, s=77)
+    pk.plan = plan
+    assert planned == plain, "classified plan must not change the proof"
+    assert groth16.verify(vk, planned, [x])
+
+
 def test_groth16_zkey_roundtrip(tmp_path):
     """setup -> write_zkey -> load_zkey -> prove with the loaded key ->
     verify with the loaded vk (and cross-verify against the original vk)."""
