@@ -149,7 +149,10 @@ def _stage_setup(circuit):
     t_cs = time.perf_counter() - t0
     log(f"setup[{circuit}]: cs built ({cs.num_constraints} constraints, {t_cs:.1f}s)")
     t0 = time.perf_counter()
-    pk, vk = groth16.setup(cs)
+    # plan=False: save_pk drops the classified-MSM plan; the prove stage
+    # builds and caches it itself (attach_msm_plan cache_path), so building
+    # it here would be discarded work
+    pk, vk = groth16.setup(cs, plan=False)
     t_setup = time.perf_counter() - t0
     log(f"setup[{circuit}]: done (domain 2^{pk.k}, {t_setup:.1f}s)")
     os.makedirs(CACHE, exist_ok=True)
@@ -205,9 +208,11 @@ def _stage_prove(circuit):
     n_verify = int(os.environ.get("BENCH_VERIFY", "4"))
     cs = build_cs()
     pk, vk = groth16.load_pk(os.path.join(CACHE, f"{tag}.npz"))
-    groth16.attach_msm_plan(pk, cs,
-                            cache_path=os.path.join(CACHE, f"{tag}_plan.npz"))
-    log(f"prove[{circuit}]: pk loaded (domain 2^{pk.k})")
+    no_plan = os.environ.get("POB_NO_PLAN", "0") == "1"
+    if not no_plan:
+        groth16.attach_msm_plan(pk, cs,
+                                cache_path=os.path.join(CACHE, f"{tag}_plan.npz"))
+    log(f"prove[{circuit}]: pk loaded (domain 2^{pk.k}, plan={not no_plan})")
     data = np.load(os.path.join(CACHE, f"{tag}_W.npz"))
     pubs_all = json.load(open(os.path.join(CACHE, f"{tag}_pubs.json")))
     iters = len(pubs_all)
@@ -237,7 +242,7 @@ def _stage_prove(circuit):
     med = sorted(times)[len(times) // 2]
     _emit({"stage": "prove", "batch": int(W0.shape[0]), "iters": iters,
            "prove_s": round(med, 3), "warmup_s": round(warm_s, 1),
-           "verify_s": round(verify_s, 1), "domain_k": pk.k,
+           "verify_s": round(verify_s, 1), "domain_k": pk.k, "plan": not no_plan,
            "iter_s": [round(t, 3) for t in times], "verified": True})
 
 
@@ -276,7 +281,19 @@ def _bench_circuit(circuit):
     if wt is None:
         return None, detail
     detail["witness"] = wt
-    pv = _run_stage(circuit, "prove")
+    # Default prove path: plain Pippenger G1 + chunked G2 — smaller per-stage
+    # programs that the tunnel backend compiles reliably. The width-classified
+    # all-bits plan (BENCH_TRY_PLAN=1) does ~30x fewer point-adds, but its
+    # fused G1 mega-program has been observed to kill the tunnel's
+    # remote-compile endpoint ("response body closed", r4) — so it's an
+    # opt-in first attempt with the plain path as fallback, never the only try.
+    pv = None
+    if os.environ.get("BENCH_TRY_PLAN", "0") == "1":
+        pv = _run_stage(circuit, "prove", attempts=1)
+        if pv is None:
+            log(f"{circuit}: planned prove failed; falling back to POB_NO_PLAN=1")
+    if pv is None:
+        pv = _run_stage(circuit, "prove", extra_env={"POB_NO_PLAN": "1"})
     if pv is None:
         return None, detail
     detail["prove"] = pv

@@ -814,7 +814,10 @@ def prove_batch(pk: ProvingKey, witness_batch, rs=None):
     n_tiles = max(8, 64 // max(1, B))
     h = _h_batch_kernel(pk.k, pk.mats, W)
     npub = pk.num_public
-    if pk.plan is not None:
+    use_plan = pk.plan is not None and not int(
+        __import__("os").environ.get("POB_NO_PLAN", "0")
+    )
+    if use_plan:
         bit_tiles = int(__import__("os").environ.get("POB_BIT_TILES", "2048"))
         p = pk.plan
         g1 = _planned_group_kernel("g1", bit_tiles, p.g1_pts, p.g1_bit_idx,

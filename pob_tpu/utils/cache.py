@@ -26,3 +26,14 @@ def enable_persistent_cache():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", host_cache_dir())
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+
+def pin_platform():
+    """Honor an explicit JAX_PLATFORMS choice even when a plugin
+    sitecustomize force-set another default (some TPU plugins do). Call
+    after importing jax, before any device use — running a CPU-intended
+    script on the chip a concurrent bench is using can crash the worker."""
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])

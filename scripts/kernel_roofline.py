@@ -27,7 +27,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def run(batch_log2: int = 16, iters: int = 10):
+    from pob_tpu.utils.cache import enable_persistent_cache, pin_platform
+
+    enable_persistent_cache()
     import jax
+
+    pin_platform()
     import jax.numpy as jnp
     import numpy as np
 
@@ -57,6 +62,15 @@ def run(batch_log2: int = 16, iters: int = 10):
     f = jax.jit(lambda x, y: limb.mont_mul(FR, x, y))
     r = bench_fn("mont_mul", f, a, b, iters=iters, items_per_iter=n)
     results.append(("mont_mul", r, 850))
+
+    # 1b. the hand-written Pallas twin (field/pallas_mont.py) — TPU only;
+    # on CPU the kernel runs in interpreter mode (correctness, not speed)
+    if backend == "tpu":
+        from pob_tpu.field.pallas_mont import mont_mul_pallas
+
+        fp = jax.jit(lambda x, y: mont_mul_pallas(FR, x, y))
+        r = bench_fn("mont_mul_pallas", fp, a, b, iters=iters, items_per_iter=n)
+        results.append(("mont_mul_pallas", r, 850))
 
     # 2. keccak-f[1600]: batched permutations (bitsliced u32-pair lanes)
     m = n // 16

@@ -32,7 +32,12 @@ def main():
     args = ap.parse_args()
 
     t_all = time.perf_counter()
+    from pob_tpu.utils.cache import enable_persistent_cache, pin_platform
+
+    enable_persistent_cache()
     import jax
+
+    pin_platform()
     import jax.numpy as jnp
     import numpy as np
 

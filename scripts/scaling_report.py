@@ -22,7 +22,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def run(sizes, batch, iters, config_name):
+    from pob_tpu.utils.cache import enable_persistent_cache, pin_platform
+
+    enable_persistent_cache()
     import jax
+
+    pin_platform()
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P

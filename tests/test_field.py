@@ -98,3 +98,18 @@ def test_byte_bit_conversions():
         assert bytes(be[i].tolist()) == x.to_bytes(32, "big")
         assert limb.limbs_to_int(back[i]) == x
         assert sum(int(b) << j for j, b in enumerate(bits[i])) == x
+
+
+def test_mont_mul_pallas_matches_ref():
+    """The hand-written Pallas mont_mul (field/pallas_mont.py) is bit-exact
+    vs the python-int reference; on CPU the kernel runs in Pallas interpreter
+    mode, on TPU it is the compiled kernel the roofline compares."""
+    from pob_tpu.field.pallas_mont import mont_mul_pallas
+
+    xs = rand_elems(FR_MOD, 24) + [0, 1, FR_MOD - 1, FR_MOD - 2]
+    ys = rand_elems(FR_MOD, 24) + [FR_MOD - 1, FR_MOD - 1, FR_MOD - 1, 1]
+    a = limb.to_mont(limb.FR, jnp.asarray(limb.ints_to_limbs(xs)))
+    b = limb.to_mont(limb.FR, jnp.asarray(limb.ints_to_limbs(ys)))
+    out = np.asarray(limb.from_mont(limb.FR, mont_mul_pallas(limb.FR, a, b, lanes=32)))
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        assert limb.limbs_to_int(out[i]) == x * y % FR_MOD
