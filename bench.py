@@ -14,7 +14,7 @@ rapidsnark on a 2^18-constraint system (rapidsnark proves ~10^5-10^6
 constraints/s/core; BASELINE.json's north star asks for >= 20x that,
 per chip, snarkjs-compatible).
 
-Architecture (hard-won, rounds 3-4): the tunnel's TPU worker dies when one
+Architecture (hard-won, rounds 3-5): the tunnel's TPU worker dies when one
 process accumulates too many large compiled programs — every monolithic
 bench attempt (setup + witness + prove in one process) crashed with "TPU
 worker process crashed or restarted", while processes compiling <= ~5
@@ -23,7 +23,22 @@ subprocess per stage, with on-disk handoff:
 
   setup   -> proving key        (BENCH_CACHE_DIR/<tag>.npz, ~10 programs)
   witness -> witness batches    (<tag>_W.npy + publics, 1-2 programs)
-  prove   -> proofs + timings   (h + fused planned MSMs + h-MSM: 3 programs)
+  prove   -> proofs + timings   (h + plain Pippenger G1 MSMs + chunked G2,
+                                 each synchronized and logged per stage)
+
+The prove stage defaults to the PLAIN path (per-query Pippenger G1 +
+chunked G2): smaller programs the tunnel backend compiles reliably. The
+width-classified all-bits plan (~30x fewer point-adds) is the opt-in
+first attempt under BENCH_TRY_PLAN=1 (its fused G1 mega-program has killed
+the tunnel's remote-compile endpoint before), with the plain path as
+fallback; POB_NO_PLAN=1 forces the plain path inside a prove process.
+
+The orchestrator keeps a GLOBAL wall-clock budget (BENCH_WALL_BUDGET,
+default 2800 s): per-stage timeouts shrink to the remaining budget, the PoB
+stage is skipped when spend has consumed it, and the headline (plus any
+completed stage detail) is emitted from whatever finished even when a later
+stage fails — r04 lost measured witness numbers by printing only at the
+very end.
 
 Each stage is retried on failure; the pk/W caches mean a retry never repeats
 completed work. The headline proofs/s counts witness generation AND proving
@@ -33,7 +48,8 @@ Environment knobs: BENCH_BATCH (default 16), BENCH_ITERS (default 5),
 BENCH_VERIFY (default 4), BENCH_POB (default 1), BENCH_POB_BATCH (default
 4), BENCH_POB_ITERS (default 3), BENCH_CACHE_DIR (default
 /tmp/pob_bench_cache), BENCH_TIMEOUT (seconds per stage attempt, default
-2700)."""
+2700), BENCH_WALL_BUDGET (global seconds, default 2800), BENCH_TRY_PLAN,
+POB_NO_PLAN."""
 
 import json
 import os
@@ -219,7 +235,11 @@ def _stage_prove(circuit):
     W0 = jnp.asarray(data["W0"])
     log(f"prove[{circuit}]: warmup compile, W {tuple(W0.shape)}")
     t0 = time.perf_counter()
+    # warmup runs with per-stage barriers + logs so a worker crash is
+    # attributable to one stage; timed iterations run fully async
+    os.environ["POB_PROVE_SYNC"] = "1"
     proofs = groth16.prove_batch(pk, W0)
+    os.environ["POB_PROVE_SYNC"] = "0"
     warm_s = time.perf_counter() - t0
     log(f"prove[{circuit}]: warmup done ({warm_s:.1f}s)")
     times = []
@@ -251,14 +271,24 @@ def _stage_prove(circuit):
 # ---------------------------------------------------------------------------
 
 
+def _budget_left() -> float:
+    budget = float(os.environ.get("BENCH_WALL_BUDGET", "2800"))
+    return budget - (time.perf_counter() - _T0)
+
+
 def _run_stage(circuit, stage, extra_env=None, attempts=2):
     timeout = float(os.environ.get("BENCH_TIMEOUT", "2700"))
     for i in range(attempts):
+        left = _budget_left()
+        if left < 90:
+            log(f"stage {circuit}:{stage} skipped: {left:.0f}s of wall budget left")
+            return None
         env = dict(os.environ, BENCH_STAGE=f"{circuit}:{stage}", **(extra_env or {}))
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, stdout=subprocess.PIPE, text=True, timeout=timeout,
+                env=env, stdout=subprocess.PIPE, text=True,
+                timeout=min(timeout, left - 30),
             )
         except subprocess.TimeoutExpired:
             log(f"stage {circuit}:{stage} attempt {i} timed out")
@@ -289,7 +319,10 @@ def _bench_circuit(circuit):
     # opt-in first attempt with the plain path as fallback, never the only try.
     pv = None
     if os.environ.get("BENCH_TRY_PLAN", "0") == "1":
-        pv = _run_stage(circuit, "prove", attempts=1)
+        # force the plan on explicitly so an ambient POB_NO_PLAN=1 can't
+        # silently turn the "planned" attempt into a duplicate plain run
+        pv = _run_stage(circuit, "prove", extra_env={"POB_NO_PLAN": "0"},
+                        attempts=1)
         if pv is None:
             log(f"{circuit}: planned prove failed; falling back to POB_NO_PLAN=1")
     if pv is None:
@@ -325,26 +358,49 @@ def main():
     print(json.dumps({"detail": {"spend": spend_detail}}), file=sys.stderr,
           flush=True)
     if os.environ.get("BENCH_POB", "1") == "1":
-        try:
-            _pob_rate, pob_detail = _bench_circuit("pob")
-            print(json.dumps({"pob_detail": pob_detail}), file=sys.stderr,
-                  flush=True)
-        except Exception as e:  # PoB must not take down the headline
-            log(f"pob stage failed (headline unaffected): {type(e).__name__}: {e}")
-    if spend_rate is None:
-        log("spend bench failed in all attempts")
+        if _budget_left() < 300:
+            log(f"pob stage skipped: {_budget_left():.0f}s of wall budget left")
+        else:
+            try:
+                _pob_rate, pob_detail = _bench_circuit("pob")
+                print(json.dumps({"pob_detail": pob_detail}), file=sys.stderr,
+                      flush=True)
+            except Exception as e:  # PoB must not take down the headline
+                log(f"pob stage failed (headline unaffected): "
+                    f"{type(e).__name__}: {e}")
+    if spend_rate is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": "groth16_spend_proofs_per_sec_per_chip",
+                    "value": round(spend_rate, 3),
+                    "unit": "proofs/s",
+                    "vs_baseline": round(spend_rate / BASELINE_PROVE_PER_SEC, 3),
+                }
+            ),
+            flush=True,
+        )
+        return
+    # partial emission: a failed prove must not discard measured stages
+    # (r04 had witness_s=0.132 for B=16 and printed nothing)
+    wt = spend_detail.get("witness")
+    if wt:
+        rate = wt["batch"] / wt["witness_s"]
+        log("prove stage incomplete; emitting witness-only headline")
+        print(
+            json.dumps(
+                {
+                    "metric": "spend_witness_commitments_per_sec_per_chip",
+                    "value": round(rate, 3),
+                    "unit": "witness/s",
+                    "vs_baseline": round(rate / BASELINE_PROVE_PER_SEC, 3),
+                }
+            ),
+            flush=True,
+        )
         sys.exit(1)
-    print(
-        json.dumps(
-            {
-                "metric": "groth16_spend_proofs_per_sec_per_chip",
-                "value": round(spend_rate, 3),
-                "unit": "proofs/s",
-                "vs_baseline": round(spend_rate / BASELINE_PROVE_PER_SEC, 3),
-            }
-        ),
-        flush=True,
-    )
+    log("spend bench failed in all attempts")
+    sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -119,14 +119,14 @@ class ShardedProvingKey:
     queries: dict  # name -> (sharded Jacobian points, padded m)
 
 
-def _pad_shard_points(points, mesh, axis, perm=None):
-    """Pad a device Jacobian batch to a multiple of the mesh size with
-    infinity and device_put it sharded along the leading axis."""
+def _pad_shard_points(points, mesh, axis, perm=None, pad_to: int = 0):
+    """Pad a device Jacobian batch to a multiple of the mesh size (at least
+    pad_to) with infinity and device_put it sharded along the leading axis."""
     ndev = mesh.shape[axis]
     m = int(points[0].shape[0])
     if perm is not None:
         points = tuple(jnp.take(c, jnp.asarray(perm), axis=0) for c in points)
-    mp = -(-max(m, 1) // ndev) * ndev
+    mp = -(-max(m, 1, pad_to) // ndev) * ndev
     if mp != m:
         inf = curve.infinity(
             curve.FqOps if points[0].ndim == 2 else curve.Fq2Ops, (mp - m,)
@@ -141,21 +141,35 @@ def _pad_shard_points(points, mesh, axis, perm=None):
     return sharded, mp
 
 
-def shard_pk(pk: ProvingKey, mesh: Mesh, axis: str = "data") -> ShardedProvingKey:
+def shard_pk(pk: ProvingKey, mesh: Mesh, axis: str = "data",
+             pool_shapes: bool = False) -> ShardedProvingKey:
     """Partition a ProvingKey's MSM queries over the mesh (the one-time key
     distribution step; per-proof work then only moves Jacobian partials and
-    NTT transpose tiles across ICI)."""
+    NTT transpose tiles across ICI).
+
+    pool_shapes pads every query to one shared size (the max across queries)
+    so all G1 MSMs reuse ONE compiled shard_map program instead of one per
+    distinct query length — the right trade when compile latency dominates
+    (dryruns, small domains); the cost is MSM work over the infinity pad."""
     ndev = mesh.shape[axis]
     k1, k2 = _split_k(pk.k, ndev)
     n1, n2 = 1 << k1, 1 << k2
     q = np.arange(1 << pk.k)
     perm = (q % n1) * n2 + q // n1  # h-eval layout after the double four-step
+    pad_to = 0
+    if pool_shapes:
+        pad_to = max(
+            int(p[0].shape[0])
+            for p in (pk.a_query, pk.b1_query, pk.b2_query, pk.l_query,
+                      pk.h_query)
+        )
     queries = {
-        "a": _pad_shard_points(pk.a_query, mesh, axis),
-        "b1": _pad_shard_points(pk.b1_query, mesh, axis),
-        "b2": _pad_shard_points(pk.b2_query, mesh, axis),
-        "l": _pad_shard_points(pk.l_query, mesh, axis),
-        "h": _pad_shard_points(pk.h_query, mesh, axis, perm=perm),
+        "a": _pad_shard_points(pk.a_query, mesh, axis, pad_to=pad_to),
+        "b1": _pad_shard_points(pk.b1_query, mesh, axis, pad_to=pad_to),
+        "b2": _pad_shard_points(pk.b2_query, mesh, axis, pad_to=pad_to),
+        "l": _pad_shard_points(pk.l_query, mesh, axis, pad_to=pad_to),
+        "h": _pad_shard_points(pk.h_query, mesh, axis, perm=perm,
+                               pad_to=pad_to),
     }
     return ShardedProvingKey(pk=pk, mesh=mesh, axis=axis, k1=k1, k2=k2,
                              queries=queries)

@@ -409,6 +409,84 @@ def setup(cs: ConstraintSystem, rng=None, plan: bool = True) -> tuple[ProvingKey
     return pk, vk
 
 
+def setup_host(cs: ConstraintSystem, rng=None) -> tuple[ProvingKey, VerifyingKey]:
+    """Pure-host trusted setup for SMALL circuits (tests, dryruns): identical
+    key material to setup(), but every computation is python-int arithmetic —
+    zero device programs compiled. setup() compiles ~10 programs (two
+    256-step window-table scans among them), which on a slow CPU host costs
+    minutes the multichip dryrun cannot afford (VERDICT r04 item 2); here the
+    only device interaction is the final host->device array upload. Cost is
+    O(n * nw) bigint ops — intended for domains 2^k <= ~2^10."""
+    rnd = rng or (lambda: secrets.randbelow(FR_MOD - 1) + 1)
+    tau, alpha, beta, gamma, delta = (rnd() for _ in range(5))
+    npub = cs.num_public
+    k = max(1, _next_pow2(cs.num_constraints + npub + 1))
+    n = 1 << k
+    nw = cs.num_wires
+
+    lag = _lagrange_at_tau(k, tau)
+    mat_a, mat_b, mat_c = _indexed_matrices(cs)
+
+    def devalued(m):  # palette-indexed COO -> value COO
+        rows, cols, cidx, pal = m
+        return rows, cols, [pal[i] for i in cidx]
+
+    u = _poly_evals_at_tau(devalued(mat_a), lag, nw)
+    v = _poly_evals_at_tau(devalued(mat_b), lag, nw)
+    w = _poly_evals_at_tau(devalued(mat_c), lag, nw)
+    ginv, dinv = _inv(gamma), _inv(delta)
+    kv = [(beta * u[i] + alpha * v[i] + w[i]) % FR_MOD for i in range(nw)]
+    ic_scalars = [x * ginv % FR_MOD for x in kv[: npub + 1]]
+    l_scalars = [x * dinv % FR_MOD for x in kv[npub + 1 :]]
+
+    s = ntt.domain_root(k + 1)  # coset shift w_{2n}: s^n = -1
+    c0 = (pow(tau, 2 * n, FR_MOD) - 1) * _inv(2 * n % FR_MOD) % FR_MOD
+    c0 = c0 * dinv % FR_MOD
+    wroot = ntt.domain_root(k)
+    xs = []
+    acc = s
+    for _ in range(n):
+        xs.append(acc)
+        acc = acc * wroot % FR_MOD
+    h_scalars = [
+        x * c0 % FR_MOD * _inv((tau - x) % FR_MOD) % FR_MOD for x in xs
+    ]
+
+    def fb1(scalars):
+        return curve.g1_points_to_device(
+            [g1_mul(G1_GEN, x) if x else None for x in scalars]
+        )
+
+    def fb2(scalars):
+        return curve.g2_points_to_device(
+            [g2_mul(G2_GEN, x) if x else None for x in scalars]
+        )
+
+    pk = ProvingKey(
+        k=k,
+        num_public=npub,
+        alpha1=g1_mul(G1_GEN, alpha),
+        beta1=g1_mul(G1_GEN, beta),
+        delta1=g1_mul(G1_GEN, delta),
+        beta2=g2_mul(G2_GEN, beta),
+        delta2=g2_mul(G2_GEN, delta),
+        a_query=fb1(u),
+        b1_query=fb1(v),
+        b2_query=fb2(v),
+        l_query=fb1(l_scalars),
+        h_query=fb1(h_scalars),
+        mats=_mats_to_device((mat_a, mat_b)),
+    )
+    vk = VerifyingKey(
+        alpha1=pk.alpha1,
+        beta2=pk.beta2,
+        gamma2=g2_mul(G2_GEN, gamma),
+        delta2=pk.delta2,
+        ic=[g1_mul(G1_GEN, x) if x else None for x in ic_scalars],
+    )
+    return pk, vk
+
+
 # ---------------------------------------------------------------------------
 # device-side per-proof computation
 # ---------------------------------------------------------------------------
@@ -808,40 +886,93 @@ def prove_batch(pk: ProvingKey, witness_batch, rs=None):
     This is the framework's throughput mode — the reference's proving stage
     (delegated to snarkjs/rapidsnark, Makefile:5-6) has no batch equivalent;
     BASELINE.json's north star (batched proofs/sec/chip) is measured here."""
+    import os as _os
+
     W = jnp.asarray(witness_batch)
     B = int(W.shape[0])
     # keep the combined (B x 32 windows x tiles) scatter lane width ~2-4k
     n_tiles = max(8, 64 // max(1, B))
-    h = _h_batch_kernel(pk.k, pk.mats, W)
+
+    # POB_PROVE_SYNC=1: barrier + log after every device program so a TPU
+    # worker crash is attributable to ONE stage instead of surfacing at the
+    # final result fetch (BENCH_r04's undiagnosable failure mode)
+    sync = _os.environ.get("POB_PROVE_SYNC", "0") == "1"
+
+    def _barrier(name, x):
+        if sync:
+            import sys as _sys
+            import time as _time
+
+            t0 = _time.perf_counter()
+            jax.block_until_ready(x)
+            print(f"[prove-sync] {name} done ({_time.perf_counter()-t0:.1f}s)",
+                  file=_sys.stderr, flush=True)
+        return x
+
+    h = _barrier("h", _h_batch_kernel(pk.k, pk.mats, W))
     npub = pk.num_public
-    use_plan = pk.plan is not None and not int(
-        __import__("os").environ.get("POB_NO_PLAN", "0")
-    )
+    # tolerant parse: "", "0", "false" all mean unset (matches bench.py:211)
+    no_plan_env = _os.environ.get("POB_NO_PLAN", "0").strip().lower()
+    use_plan = pk.plan is not None and no_plan_env not in ("1", "true")
     if use_plan:
-        bit_tiles = int(__import__("os").environ.get("POB_BIT_TILES", "2048"))
+        bit_tiles = int(_os.environ.get("POB_BIT_TILES", "2048"))
         p = pk.plan
-        g1 = _planned_group_kernel("g1", bit_tiles, p.g1_pts, p.g1_bit_idx,
-                                   p.g1_full_idx, W)
-        g2 = _planned_group_kernel("g2", bit_tiles, p.g2_pts, p.g2_bit_idx,
-                                   p.g2_full_idx, W)
-        a_sum = tuple(c[0] for c in g1)
-        b1_sum = tuple(c[1] for c in g1)
-        c_l = tuple(c[2] for c in g1)
+        # POB_PLAN_SPLIT=1 (default): run the three G1 queries as THREE
+        # launches of ONE (q=1)-shaped program instead of a single fused
+        # (q=3) mega-program. Same compiled-program count, one third the
+        # per-launch working set — the fused form killed the tunnel's
+        # remote-compile endpoint in r04 (VERDICT item 5).
+        split = _os.environ.get("POB_PLAN_SPLIT", "1").strip().lower() \
+            not in ("0", "false")
+        if split:
+            def one(q):
+                return _planned_group_kernel(
+                    "g1", bit_tiles, tuple(c[q : q + 1] for c in p.g1_pts),
+                    p.g1_bit_idx[q : q + 1], p.g1_full_idx[q : q + 1], W,
+                )
+
+            a_sum = tuple(c[0] for c in _barrier("a-planned", one(0)))
+            b1_sum = tuple(c[0] for c in _barrier("b1-planned", one(1)))
+            c_l = tuple(c[0] for c in _barrier("l-planned", one(2)))
+        else:
+            g1 = _barrier(
+                "g1-planned",
+                _planned_group_kernel("g1", bit_tiles, p.g1_pts, p.g1_bit_idx,
+                                      p.g1_full_idx, W),
+            )
+            a_sum = tuple(c[0] for c in g1)
+            b1_sum = tuple(c[1] for c in g1)
+            c_l = tuple(c[2] for c in g1)
+        g2 = _barrier(
+            "g2-planned",
+            _planned_group_kernel("g2", bit_tiles, p.g2_pts, p.g2_bit_idx,
+                                  p.g2_full_idx, W),
+        )
         b2_sum = tuple(c[0] for c in g2)
     else:
-        a_sum = _msm_batch_kernel("g1", n_tiles, pk.a_query, W)
-        b1_sum = _msm_batch_kernel("g1", n_tiles, pk.b1_query, W)
-        b2_sum = _msm_batched_g2(pk.b2_query, W)
+        a_sum = _barrier("a", _msm_batch_kernel("g1", n_tiles, pk.a_query, W))
+        b1_sum = _barrier("b1", _msm_batch_kernel("g1", n_tiles, pk.b1_query, W))
+        b2_sum = _barrier("b2", _msm_batched_g2(pk.b2_query, W))
         c_l = (
-            _msm_batch_kernel("g1", n_tiles, pk.l_query, W[:, npub + 1 :])
+            _barrier(
+                "l",
+                _msm_batch_kernel("g1", n_tiles, pk.l_query, W[:, npub + 1 :]),
+            )
             if int(pk.l_query[0].shape[0]) > 0
             else None
         )
-    c_h = _msm_batch_kernel("g1", n_tiles, pk.h_query, h)
+    c_h = _barrier("h-msm", _msm_batch_kernel("g1", n_tiles, pk.h_query, h))
     sums = (a_sum, b1_sum, b2_sum, c_l, c_h)
+    # ONE device->host fetch of the five (B,)-batched MSM sums, then pure
+    # numpy slicing. Slicing on device (tree_map c[i] over jax arrays)
+    # dispatched B x 15 one-off slice programs, and that program flood —
+    # not the MSM kernels, which all complete — is what crashed the TPU
+    # worker at the first result fetch in BENCH_r03/r04 (probe_prove.py
+    # bisection, r05).
+    host_sums = jax.tree_util.tree_map(lambda c: np.asarray(c), sums)
     proofs = []
     for i in range(B):
-        si = jax.tree_util.tree_map(lambda c: c[i], sums)
+        si = jax.tree_util.tree_map(lambda c: c[i], host_sums)
         r, s = rs[i] if rs is not None else (None, None)
         proofs.append(finish_proof(pk, si, r, s))
     return proofs

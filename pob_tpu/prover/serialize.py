@@ -250,6 +250,13 @@ def write_proof(path: str, proof, public_inputs):
 _ZKEY_MAGIC = b"zkey"
 
 
+class ZkeyFormatError(ValueError):
+    """A .zkey file is structurally inconsistent (truncated, wrong field
+    widths, section sizes contradicting header counts). Raised instead of
+    misparsing: a proving key silently built from a misread layout would
+    produce unverifiable proofs far downstream of the actual bug."""
+
+
 def _mont_bytes_fq(v: int) -> bytes:
     from ..field.ref import FQ_MOD
 
@@ -373,26 +380,55 @@ def read_zkey(path: str) -> dict:
 
     with open(path, "rb") as f:
         data = f.read()
-    assert data[:4] == _ZKEY_MAGIC, "bad zkey magic"
+    if data[:4] != _ZKEY_MAGIC:
+        raise ZkeyFormatError("bad zkey magic")
+    if len(data) < 12:
+        raise ZkeyFormatError("truncated zkey: no section table")
     _version, n_sections = struct.unpack_from("<II", data, 4)
     off = 12
     sections = {}
     for _ in range(n_sections):
+        if off + 12 > len(data):
+            raise ZkeyFormatError("truncated zkey: section header cut short")
         sid, slen = struct.unpack_from("<iq", data, off)
         off += 12
+        if slen < 0 or off + slen > len(data):
+            raise ZkeyFormatError(
+                f"truncated zkey: section {sid} claims {slen} bytes, "
+                f"{len(data) - off} remain"
+            )
         sections[sid] = data[off : off + slen]
         off += slen
+    missing = [s for s in range(1, 10) if s not in sections]
+    if missing:
+        raise ZkeyFormatError(f"zkey missing sections {missing}")
 
+    if len(sections[1]) < 4:
+        raise ZkeyFormatError("zkey section 1 too short")
     (proto,) = struct.unpack_from("<I", sections[1], 0)
-    assert proto == 1, "not a groth16 zkey"
+    if proto != 1:
+        raise ZkeyFormatError("not a groth16 zkey")
     hdr = sections[2]
+    if len(hdr) < 8:
+        raise ZkeyFormatError("zkey header too short")
     pos = 0
     (n8q,) = struct.unpack_from("<I", hdr, pos); pos += 4
+    if n8q != 32:
+        raise ZkeyFormatError(f"unsupported n8q={n8q} (expected 32)")
     q = int.from_bytes(hdr[pos : pos + n8q], "little"); pos += n8q
+    if len(hdr) < pos + 4:
+        raise ZkeyFormatError("zkey header too short")
     (n8r,) = struct.unpack_from("<I", hdr, pos); pos += 4
+    if n8r != 32:
+        raise ZkeyFormatError(f"unsupported n8r={n8r} (expected 32)")
     r = int.from_bytes(hdr[pos : pos + n8r], "little"); pos += n8r
+    if len(hdr) < pos + 12 + 3 * 64 + 3 * 128:
+        raise ZkeyFormatError("zkey header too short for group elements")
     nvars, npub, domain = struct.unpack_from("<III", hdr, pos); pos += 12
-    assert q == FQ_MOD and r == FR_MOD and n8q == 32 and n8r == 32
+    if q != FQ_MOD:
+        raise ZkeyFormatError("zkey base-field prime is not BN254 Fq")
+    if r != FR_MOD:
+        raise ZkeyFormatError("zkey scalar-field prime is not BN254 Fr")
 
     def fq(b):
         return int.from_bytes(b, "little") * rinv_q % FQ_MOD
@@ -415,15 +451,46 @@ def read_zkey(path: str) -> dict:
     delta1 = g1(hdr[pos:], 0); pos += 64
     delta2 = g2(hdr[pos:], 0); pos += 128
 
+    # point-section sizes must match the header counts exactly — a mismatch
+    # means either truncation or a layout misunderstanding; silently
+    # reshaping to "whatever fits" would misattribute points to wires
+    expected = {
+        3: (npub + 1) * 64,
+        5: nvars * 64,
+        6: nvars * 64,
+        7: nvars * 128,
+        8: max(0, nvars - npub - 1) * 64,
+        9: domain * 64,
+    }
+    for sid, want in expected.items():
+        if len(sections[sid]) != want:
+            raise ZkeyFormatError(
+                f"zkey section {sid} is {len(sections[sid])} bytes, header "
+                f"counts imply {want}"
+            )
+
     ic = [g1(sections[3], i) for i in range(len(sections[3]) // 64)]
 
     cb = sections[4]
+    if len(cb) < 4:
+        raise ZkeyFormatError("zkey coefficient section too short")
     (ncoef,) = struct.unpack_from("<I", cb, 0)
+    if len(cb) != 4 + ncoef * 44:
+        raise ZkeyFormatError(
+            f"zkey coefficient section is {len(cb)} bytes, count {ncoef} "
+            f"implies {4 + ncoef * 44}"
+        )
     pos4 = 4
     coeffs = {0: ([], [], []), 1: ([], [], [])}
     for _ in range(ncoef):
         m, c_, s = struct.unpack_from("<III", cb, pos4)
         pos4 += 12
+        if m not in (0, 1):
+            raise ZkeyFormatError(f"zkey coefficient names matrix {m}")
+        if c_ >= domain + npub + 1 or s >= nvars:
+            raise ZkeyFormatError(
+                f"zkey coefficient out of range: row {c_}, wire {s}"
+            )
         v = int.from_bytes(cb[pos4 : pos4 + 32], "little") * rinv_r % FR_MOD
         pos4 += 32
         coeffs[m][0].append(c_)

@@ -22,18 +22,62 @@ def host_cache_dir(prefix: str = "/tmp/jax_cache_pob") -> str:
 
 
 def enable_persistent_cache():
-    """Set the jax persistent-cache env knobs (no-op if already set)."""
+    """Enable the jax persistent compilation cache.
+
+    Env vars alone are NOT enough here: jax's config defaults latch the
+    environment when the config module is imported, and a plugin
+    sitecustomize (e.g. the axon TPU plugin's) imports jax before any user
+    code runs — so for four rounds the env-only version silently wrote
+    nothing (the cache dir stayed empty while every process recompiled
+    cold). Set the env (inherited by subprocesses that might import jax
+    pre-sitecustomize) AND the live config values."""
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", host_cache_dir())
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
+    )
+    jax.config.update(
+        "jax_persistent_cache_min_entry_size_bytes",
+        int(os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"]),
+    )
 
 
 def pin_platform():
     """Honor an explicit JAX_PLATFORMS choice even when a plugin
     sitecustomize force-set another default (some TPU plugins do). Call
     after importing jax, before any device use — running a CPU-intended
-    script on the chip a concurrent bench is using can crash the worker."""
+    script on the chip a concurrent bench is using can crash the worker.
+
+    The config update is silently ineffective once backends are initialized
+    (e.g. a harness touched jax.devices() before calling us), so that case
+    gets a loud warning instead of a silent mis-pin."""
     if os.environ.get("JAX_PLATFORMS"):
         import jax
 
+        try:
+            from jax._src import xla_bridge
+
+            initialized = xla_bridge.backends_are_initialized()
+        except Exception:
+            initialized = False
+        if initialized:
+            import warnings
+
+            current = jax.default_backend()
+            want = os.environ["JAX_PLATFORMS"].split(",")[0]
+            if current != want and not (want == "axon" and current == "tpu"):
+                warnings.warn(
+                    f"pin_platform: JAX backends already initialized "
+                    f"(default={current!r}); JAX_PLATFORMS="
+                    f"{os.environ['JAX_PLATFORMS']!r} cannot take effect",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            return
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])

@@ -36,8 +36,15 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _host_cache_dir())
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
-# The axon TPU plugin's sitecustomize force-sets jax_platforms; the env var
-# alone is not enough — re-pin the config to CPU after import.
+# The axon TPU plugin's sitecustomize force-sets jax_platforms AND imports
+# jax before this file runs, which latches jax's env-derived config
+# defaults — so the cache env vars above are inert by themselves (this is
+# why four rounds of suites ran compile-cold). Re-pin the platform and the
+# cache settings on the live config.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
