@@ -45,11 +45,18 @@ def main(group: str, B: int, n_tiles: int, m: int):
     jax.block_until_ready(out)
     t_compile = time.perf_counter() - t0
     print(f"[probe +{t_compile:.1f}s] compiled+ran once", flush=True)
+    # a worker kill can hide behind a successful block_until_ready (r05
+    # fetch-probe evidence); the D2H fetch is the real health check
+    host = [np.asarray(c) for c in out]
+    print(f"[probe +{time.perf_counter()-t0:.1f}s] fetched ok "
+          f"(checksum {sum(int(c.sum()) for c in host) & 0xffffffff})",
+          flush=True)
 
     t1 = time.perf_counter()
     out = groth16._msm_batch_kernel(group, n_tiles, points, scalars)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t1
+    [np.asarray(c) for c in out]
     print(f"OK {group} B={B} T={n_tiles} m={m} run={dt:.3f}s "
           f"({B/dt:.2f} msm/s)", flush=True)
 
