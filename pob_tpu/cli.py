@@ -143,6 +143,28 @@ def cmd_verify(args):
     return 0 if ok else 1
 
 
+def cmd_export_verifier(args):
+    """Solidity verifier + calldata export — the on-chain deployment stage
+    the reference delegates to circuitscan (`snarkjs zkey export
+    solidityverifier` semantics, circuitscan.yml:27-39)."""
+    from .prover import groth16, serialize
+    from .prover.solidity import proof_to_calldata, vk_to_solidity
+
+    if args.zkey:
+        _pk, vk = groth16.load_zkey(args.zkey)
+    else:
+        vk = serialize.snarkjs_to_vk(json.load(open(args.vk)))
+    src = vk_to_solidity(vk, args.name)
+    with open(args.out, "w") as f:
+        f.write(src)
+    print(f"wrote {args.out} ({len(vk.ic) - 1} public inputs)")
+    if args.proof and args.public:
+        proof = serialize.snarkjs_to_proof(json.load(open(args.proof)))
+        publics = [int(x) for x in json.load(open(args.public))]
+        print(proof_to_calldata(proof, publics))
+    return 0
+
+
 def cmd_grind(args):
     from .harness.pow_grind import find_burn_key, pow_digest
 
@@ -227,6 +249,16 @@ def main(argv=None):
     sp.add_argument("--proof", required=True)
     sp.add_argument("--public", required=True)
     sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser("export-verifier",
+                        help="emit a Solidity on-chain verifier (+ calldata)")
+    sp.add_argument("--zkey", help="read the vk from a .zkey")
+    sp.add_argument("--vk", help="or from a snarkjs verification_key.json")
+    sp.add_argument("--out", default="verifier.sol")
+    sp.add_argument("--name", default="Groth16Verifier")
+    sp.add_argument("--proof", help="also print calldata for this proof.json")
+    sp.add_argument("--public", help="public.json for --proof")
+    sp.set_defaults(fn=cmd_export_verifier)
 
     sp = sub.add_parser("grind", help="grind a PoW-valid burn key (native C++)")
     sp.add_argument("--reveal", type=int, default=0)
