@@ -231,7 +231,10 @@ def _stage_prove(circuit):
     log(f"prove[{circuit}]: pk loaded (domain 2^{pk.k}, plan={not no_plan})")
     data = np.load(os.path.join(CACHE, f"{tag}_W.npz"))
     pubs_all = json.load(open(os.path.join(CACHE, f"{tag}_pubs.json")))
-    iters = len(pubs_all)
+    # the witness stage saves BENCH_ITERS batches; proving every one of them
+    # can exceed the wall budget on the plain (scatter-bound) path, so the
+    # prove stage times at most BENCH_PROVE_ITERS of them
+    iters = min(len(pubs_all), int(os.environ.get("BENCH_PROVE_ITERS", "3")))
     W0 = jnp.asarray(data["W0"])
     log(f"prove[{circuit}]: warmup compile, W {tuple(W0.shape)}")
     t0 = time.perf_counter()
@@ -311,14 +314,18 @@ def _bench_circuit(circuit):
     if wt is None:
         return None, detail
     detail["witness"] = wt
-    # Default prove path: plain Pippenger G1 + chunked G2 — smaller per-stage
-    # programs that the tunnel backend compiles reliably. The width-classified
-    # all-bits plan (BENCH_TRY_PLAN=1) does ~30x fewer point-adds, but its
-    # fused G1 mega-program has been observed to kill the tunnel's
-    # remote-compile endpoint ("response body closed", r4) — so it's an
-    # opt-in first attempt with the plain path as fallback, never the only try.
+    # Default prove path: the width-classified all-bits plan — bitsum_msm is
+    # scatter-free (dense conditional adds over wide tiles), which matters
+    # because XLA:TPU serializes Pippenger's bucket scatter at ~1-2us/index
+    # (r05 probe_msm bisection; the r03/r04 worker kills were launches whose
+    # scatter count exceeded the worker's ~minute execution window). The
+    # plan's G1 program runs split per query (POB_PLAN_SPLIT=1 default) to
+    # stay under the tunnel compiler's limit; every plain Pippenger launch
+    # (incl. the h MSM both paths share) is batch-chunked to a bounded
+    # scatter count (groth16._msm_batched). BENCH_TRY_PLAN=0 skips the
+    # planned attempt; the chunked plain path remains the fallback.
     pv = None
-    if os.environ.get("BENCH_TRY_PLAN", "0") == "1":
+    if os.environ.get("BENCH_TRY_PLAN", "1") == "1":
         # force the plan on explicitly so an ambient POB_NO_PLAN=1 can't
         # silently turn the "planned" attempt into a duplicate plain run
         pv = _run_stage(circuit, "prove", extra_env={"POB_NO_PLAN": "0"},

@@ -64,9 +64,11 @@ def _witness_limbs(circuit: str, config: str, input_path: str, cs):
     cfg = _pob_config(config)
     inp = load_pob_input(input_path, cfg)
     kw = {k: jnp.asarray(v) for k, v in batch_stack([inp]).items()}
-    # eager on purpose: jitting the whole PoB witness trace produces a
-    # ~17MB module that is punishing to compile (and can OOM the TPU AOT
-    # compile helper); the op-level dispatch amortizes fine at batch >= 1
+    # NOT whole-trace jitted: that produces a ~17MB module that is punishing
+    # to compile (and can OOM the TPU AOT compile helper). pob_r1cs_witness
+    # jits per-gadget instead (one program per gadget/shape, shared across
+    # the L+1 keccaks etc. — see pob_circuit.py), so this call compiles a
+    # handful of small programs and dispatches them compiled.
     blocks = pob_r1cs_witness(cfg, **kw)
     return np.asarray(assemble_witness(cs, blocks))[0]
 
@@ -78,7 +80,7 @@ def cmd_witness(args):
     t0 = time.time()
     cs = _build_cs(args.circuit, args.config)
     w = _witness_limbs(args.circuit, args.config, args.input, cs)
-    ints = [limb.limbs_to_int(w[j]) for j in range(cs.num_wires)]
+    ints = limb.limb_rows_to_ints(w)
     assert ints[0] == 1
     if not cs.check_witness(ints):
         print("witness does NOT satisfy the constraint system", file=sys.stderr)

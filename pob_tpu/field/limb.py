@@ -61,6 +61,19 @@ def limbs_to_ints(a):
     return [limbs_to_ints(x) for x in a]
 
 
+def limb_rows_to_ints(a) -> list:
+    """(m, n) limb array -> list of m python ints.
+
+    One C-level int.from_bytes per row instead of limbs_to_int's n python
+    shifts: on the 3.96M-wire PoB witness this is the difference between
+    minutes and ~2 s of host conversion (cli.py cmd_witness)."""
+    a = np.ascontiguousarray(np.asarray(a, dtype=np.uint32)).astype("<u2")
+    buf = a.tobytes()
+    n2 = a.shape[1] * 2
+    return [int.from_bytes(buf[i * n2:(i + 1) * n2], "little")
+            for i in range(a.shape[0])]
+
+
 @dataclass(frozen=True, eq=False)
 class FieldSpec:
     """Static per-modulus constants (embedded into jitted programs)."""

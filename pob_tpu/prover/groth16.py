@@ -542,20 +542,34 @@ def _h_batch_kernel(k: int, mats, W):
     return jax.vmap(lambda w: _compute_h_traced(k, mats, w))(W)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _msm_batch_kernel(group: str, n_tiles: int, points, scalars):
+def _msm_dense_default() -> bool:
+    """Dense one-hot Pippenger (msm.pippenger_msm_dense), opt-in via
+    POB_MSM_DENSE=1. Motivation: XLA:TPU serializes the classic
+    formulation's bucket scatter at ~1-2us per index (r05 probe bisection —
+    both the perf floor and the worker-kill cause). The dense form is
+    CPU-verified bit-exact, but its first TPU run at chunk=8/m=2^18 ALSO
+    faulted the tunnel worker (r05), so it stays off by default until its
+    envelope is bisected (likely needs chunk<=2: its HBM traffic is
+    ~0.8 TB per batch element at m=2^18)."""
+    import os
+
+    return os.environ.get("POB_MSM_DENSE", "").strip().lower() in ("1", "true")
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def _msm_batch_kernel(group: str, n_tiles: int, points, scalars, dense=None):
     """scalars: (B, m, 16); shared points. Pippenger tile count is scaled so
-    the combined (B x 32 windows x tiles) scatter lane width stays constant —
+    the combined (B x 32 windows x tiles) bucket lane width stays constant —
     the bucket merge and the 255-step weighted reduction (the fixed serial
     cost that dominates a single proof) then run B-wide, which is where
     batching wins on the VPU."""
-    pip, small = (
-        (msm.pippenger_msm_g1, msm.msm_g1)
-        if group == "g1"
-        else (msm.pippenger_msm_g2, msm.msm_g2)
-    )
+    ops = curve.FqOps if group == "g1" else curve.Fq2Ops
+    small = msm.msm_g1 if group == "g1" else msm.msm_g2
+    if dense is None:
+        dense = _msm_dense_default()
+    pip = msm.pippenger_msm_dense if dense else msm.pippenger_msm
     if int(points[0].shape[0]) >= 4096:
-        return jax.vmap(lambda s: pip(points, s, n_tiles))(scalars)
+        return jax.vmap(lambda s: pip(ops, points, s, n_tiles))(scalars)
     return jax.vmap(lambda s: small(points, s))(scalars)
 
 
@@ -831,27 +845,55 @@ def _planned_group_kernel(group: str, n_tiles: int, pts, bit_idx, full_idx, W):
     )(pts, bits)
 
 
-def _msm_batched_g2(points, scalars):
-    """G2 MSM over a batch, chunked along the batch axis. Fq2 point-adds carry
-    ~2x the widening intermediates of G1 and the batched G2 Pippenger is what
-    killed the TPU worker in round 3's bench (BENCH_r03: kernel fault at
-    B=16) when it ran with the rest of the prover's buffers resident — the
-    chunk bound keeps the G2 stage's peak live memory at a fraction of the
-    G1 stages'. POB_G2_BATCH_CHUNK overrides (0 = unchunked)."""
+# Pippenger's bucket accumulation is a scatter, and XLA:TPU serializes
+# scatter updates at ~1-2us per index; a batched MSM launch costs
+# ~ 32 windows * chunk * m indices of wall time REGARDLESS of tile count
+# (measured r05: B=1/T=64/m=156870 -> 6.1s, B=4/T=16 -> 34s, B=16/any T ->
+# worker killed at ~90-130s; scripts/probe_msm.py). The tunnel's TPU worker
+# dies when one program executes past roughly a minute, so launches are
+# chunked along the batch axis to keep each program's scatter count below
+# POB_MSM_IDX_BUDGET (~ <=35s of scatter wall time). The real fix is the
+# scatter-free planned path (bitsum_msm) for witness queries; the full-width
+# h MSM still pays this tax until a VMEM-bucket Pallas kernel lands.
+_IDX_BUDGET = 20_000_000
+
+
+def _msm_chunk(group: str, B: int, m: int) -> int:
     import os
 
+    env = os.environ.get("POB_MSM_CHUNK", "")
+    if env.strip():
+        return max(1, min(B, int(env)))
+    if _msm_dense_default():
+        # dense path has no scatter wall-time to bound, but its per-launch
+        # HBM traffic is ~0.8 TB per batch element at m=2^18 — chunk=8
+        # faulted the TPU worker (r05), so keep launches small
+        return max(1, min(B, 2))
+    budget = _IDX_BUDGET // (2 if group == "g2" else 1)
+    return max(1, min(B, budget // (N_WINDOWS_IDX * max(1, m))))
+
+
+N_WINDOWS_IDX = 32  # msm.N_WINDOWS; scatter indices per point per launch
+
+
+def _msm_batched(group: str, points, scalars):
+    """Batched Pippenger MSM, chunked along the batch axis (see note above).
+    Chunk sizes are powers of two off a shared heuristic so at most two
+    distinct programs (chunk shape + B=1 tail shape) compile per query
+    shape. G2 (Fq2) halves the chunk: each point-add costs ~2x G1."""
     B = int(scalars.shape[0])
-    chunk = int(os.environ.get("POB_G2_BATCH_CHUNK", "4")) or B
-    chunk = min(chunk, B)
+    m = int(points[0].shape[0])
+    chunk = _msm_chunk(group, B, m)
+    chunk = 1 << (chunk.bit_length() - 1)  # pow2: stable program shapes
     n_tiles = max(8, 64 // chunk)
     outs = [
-        _msm_batch_kernel("g2", n_tiles, points, scalars[i : i + chunk])
+        _msm_batch_kernel(group, n_tiles, points, scalars[i : i + chunk])
         for i in range(0, B - B % chunk, chunk)
     ]
     if B % chunk:  # ragged tail: per-proof calls reuse the B=1-shaped program
         tail = scalars[B - B % chunk :]
         outs += [
-            _msm_batch_kernel("g2", max(8, 64 // 1), points, tail[j : j + 1])
+            _msm_batch_kernel(group, max(8, 64 // 1), points, tail[j : j + 1])
             for j in range(int(tail.shape[0]))
         ]
     return tuple(jnp.concatenate([o[c] for o in outs], axis=0) for c in range(3))
@@ -890,8 +932,6 @@ def prove_batch(pk: ProvingKey, witness_batch, rs=None):
 
     W = jnp.asarray(witness_batch)
     B = int(W.shape[0])
-    # keep the combined (B x 32 windows x tiles) scatter lane width ~2-4k
-    n_tiles = max(8, 64 // max(1, B))
 
     # POB_PROVE_SYNC=1: barrier + log after every device program so a TPU
     # worker crash is attributable to ONE stage instead of surfacing at the
@@ -950,18 +990,15 @@ def prove_batch(pk: ProvingKey, witness_batch, rs=None):
         )
         b2_sum = tuple(c[0] for c in g2)
     else:
-        a_sum = _barrier("a", _msm_batch_kernel("g1", n_tiles, pk.a_query, W))
-        b1_sum = _barrier("b1", _msm_batch_kernel("g1", n_tiles, pk.b1_query, W))
-        b2_sum = _barrier("b2", _msm_batched_g2(pk.b2_query, W))
+        a_sum = _barrier("a", _msm_batched("g1", pk.a_query, W))
+        b1_sum = _barrier("b1", _msm_batched("g1", pk.b1_query, W))
+        b2_sum = _barrier("b2", _msm_batched("g2", pk.b2_query, W))
         c_l = (
-            _barrier(
-                "l",
-                _msm_batch_kernel("g1", n_tiles, pk.l_query, W[:, npub + 1 :]),
-            )
+            _barrier("l", _msm_batched("g1", pk.l_query, W[:, npub + 1 :]))
             if int(pk.l_query[0].shape[0]) > 0
             else None
         )
-    c_h = _barrier("h-msm", _msm_batch_kernel("g1", n_tiles, pk.h_query, h))
+    c_h = _barrier("h-msm", _msm_batched("g1", pk.h_query, h))
     sums = (a_sum, b1_sum, b2_sum, c_l, c_h)
     # ONE device->host fetch of the five (B,)-batched MSM sums, then pure
     # numpy slicing. Slicing on device (tree_map c[i] over jax arrays)

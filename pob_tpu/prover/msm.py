@@ -136,6 +136,69 @@ def pippenger_msm(ops, points, scalars, n_tiles: int = 64):
 
     buckets, _ = jax.lax.scan(step, buckets, (pts, digs))
 
+    return _combine_buckets(ops, buckets, T)
+
+
+def pippenger_msm_dense(ops, points, scalars, n_tiles: int = 8):
+    """Pippenger with DENSE one-hot bucket updates — the TPU-native variant.
+
+    XLA:TPU serializes scatter/gather at ~1-2us per index, which makes the
+    classic bucket accumulation (pippenger_msm above) latency-bound at
+    ~32*m us per MSM wall-clock regardless of tile count — and launches
+    whose scatter count exceeds the device's watchdog window kill the TPU
+    worker outright (r05 probe_msm bisection). Here the bucket read is a
+    masked full-width reduction over the 256-bucket axis and the write a
+    masked select over the whole bucket tensor: 256x more elements touched
+    per step, but every op is a dense static-shape vector op the VPU
+    streams. HBM traffic is tile-count-invariant (~2 * 32 windows * 256
+    buckets * point bytes * m / T * T = ~0.8 TB at m=2^18, ~1 s at v5e
+    bandwidth) and there is no serialized-scatter worker-kill risk.
+
+    Same contract and bucket layout as pippenger_msm; the merge/weighted-
+    sum/Horner phases are shared (_combine_buckets)."""
+    m = int(points[0].shape[0])
+    T = min(n_tiles, max(1, m))
+    T = 1 << max(0, (T - 1).bit_length())
+    t = -(-m // T)
+    pad = T * t - m
+    digits = scalar_digits(scalars)  # (m, 32)
+    if pad:
+        inf = curve.infinity(ops, (pad,))
+        points = tuple(jnp.concatenate([c, i], axis=0) for c, i in zip(points, inf))
+        # digit 256 is out of one-hot range: padded points touch no bucket
+        digits = jnp.concatenate(
+            [digits, jnp.full((pad, N_WINDOWS), 256, digits.dtype)], 0
+        )
+    pts = tuple(jnp.moveaxis(c.reshape((T, t) + c.shape[1:]), 1, 0) for c in points)
+    digs = jnp.moveaxis(digits.reshape(T, t, N_WINDOWS), 1, 0)  # (t, T, 32)
+    iota = jnp.arange(256, dtype=digits.dtype)
+
+    buckets = curve.infinity(ops, (N_WINDOWS, T, 256))
+
+    def step(bk, x):
+        p, d = x  # p: (T, coords), d: (T, 32)
+        oh = d.T[:, :, None] == iota  # (32, T, 256) one-hot over buckets
+        ohc = oh.reshape(oh.shape + (1,) * (bk[0].ndim - 3))
+        cur = tuple(
+            jnp.where(ohc, c, 0).sum(axis=2, dtype=c.dtype) for c in bk
+        )  # (32, T, coords): the addressed bucket per (window, tile) lane
+        pb = tuple(jnp.broadcast_to(c, (N_WINDOWS,) + c.shape) for c in p)
+        new = curve.point_add(ops, cur, pb)
+        return (
+            tuple(
+                jnp.where(ohc, n[:, :, None], c) for c, n in zip(bk, new)
+            ),
+            None,
+        )
+
+    buckets, _ = jax.lax.scan(step, buckets, (pts, digs))
+
+    return _combine_buckets(ops, buckets, T)
+
+
+def _combine_buckets(ops, buckets, T: int):
+    """Shared Pippenger tail: merge T private rows per window, weighted
+    bucket sums, Horner window fold. buckets: (32, T, 256) Jacobian."""
     # merge the T private rows per window with a T-step accumulation scan at
     # (32, 256) width: T x 8192 point-adds is negligible next to the 32m main
     # scan, and the narrow body keeps the mont_mul widening intermediates

@@ -714,6 +714,20 @@ def _mpt_leaf_wit(blocks, name, nibbles, nib_len, act_limbs):
     blocks[f"{name}_vp"] = ohpk[..., None] * val[..., None, :]
 
 
+# Per-gadget jit for the witness path. Jitting the WHOLE pob_r1cs_witness
+# trace emits a ~17 MB XLA module that is punishing to compile (and has OOMed
+# the TPU AOT helper); fully eager dispatch pays python/op overhead on
+# thousands of small ops. The middle ground: one compiled program per
+# (gadget, shape) — the L+1 dynamic keccaks share one program, the three
+# poseidons share one per arity, the five strict-bit decompositions share
+# one. Nested jit is inlined when a caller jits pob_r1cs_witness itself, so
+# these wrappers cost nothing under an outer jit/shard_map.
+_keccak_static_j = jax.jit(wit.keccak_static_trace, static_argnums=1)
+_keccak_bytes_j = jax.jit(wit.keccak_bytes_trace, static_argnums=2)
+_poseidon_j = jax.jit(wit.poseidon_trace)
+_strict_bits_j = jax.jit(wit.strict_bits_trace)
+
+
 def pob_r1cs_witness(cfg: PoBConfig, **kw):
     """Full witness blocks for a batch of PoB instances. kw matches
     circuits.proof_of_burn.pob_forward's signature (limb scalars + int arrays).
@@ -771,34 +785,34 @@ def pob_r1cs_witness(cfg: PoBConfig, **kw):
         return jnp.broadcast_to(jnp.asarray(limb.int_to_limbs(v)), batch + (limb.L,))
 
     diff_ir = limb.sub(FR, inten, rev)
-    pc, remaining = wit.poseidon_trace(
+    pc, remaining = _poseidon_j(
         jnp.stack([pref(POSEIDON_COIN_PREFIX), bk, diff_ir], axis=-2)
     )
-    pn, nullifier = wit.poseidon_trace(
+    pn, nullifier = _poseidon_j(
         jnp.stack([pref(POSEIDON_NULLIFIER_PREFIX), bk], axis=-2)
     )
-    pa, addr_h = wit.poseidon_trace(
+    pa, addr_h = _poseidon_j(
         jnp.stack([pref(POSEIDON_BURN_ADDRESS_PREFIX), bk, rev, bex], axis=-2)
     )
     for nm, blk in (("p_coin", pc), ("p_null", pn), ("p_addr", pa)):
         for k in ("x2", "x4", "x5"):
             b[f"{nm}_{k}"] = blk[k]
     b["addr_bits"] = fr_bits(addr_h, 254)
-    for k, v in wit.strict_bits_trace(b["addr_bits"]).items():
+    for k, v in _strict_bits_j(b["addr_bits"]).items():
         b[f"addr_bits_{k}"] = v
 
     # burn-address keccak (static, inLen=20)
     addr_bytes = _be_bytes(addr_h)[..., :20]
     msg = jnp.zeros(batch + (136,), I32)
     msg = msg.at[..., :20].set(addr_bytes).at[..., 20].set(0x01).at[..., 135].set(0x80)
-    kb, ah_bits = wit.keccak_static_trace(msg, 1)
+    kb, ah_bits = _keccak_static_j(msg, 1)
     for k, v in kb.items():
         b[f"k_addr_{k}"] = v
     ah_bytes = wit.digest_bits_to_bytes(ah_bits)
     nibbles = jnp.stack([ah_bytes >> 4, ah_bytes & 0xF], axis=-1).reshape(batch + (64,))
 
     # header keccak (dynamic)
-    kb, br_bits = wit.keccak_bytes_trace(hdr, hlen, cfg.max_header_blocks)
+    kb, br_bits = _keccak_bytes_j(hdr, hlen, cfg.max_header_blocks)
     for k, v in kb.items():
         b[f"k_hdr_{k}"] = v
     br_bytes = wit.digest_bits_to_bytes(br_bits)
@@ -810,7 +824,7 @@ def pob_r1cs_witness(cfg: PoBConfig, **kw):
     b["pex_bits"] = fr_bits(pex, 254)
     b["bk_bits"] = fr_bits(bk, 254)
     for nm in ("null_bits", "coin_bits", "bex_bits", "pex_bits", "bk_bits"):
-        for k, v in wit.strict_bits_trace(b[nm]).items():
+        for k, v in _strict_bits_j(b[nm]).items():
             b[f"{nm}_{k}"] = v
     com_msg = jnp.concatenate(
         [br_bytes, _be_bytes(nullifier), _be_bytes(remaining), _be_bytes(rev),
@@ -818,7 +832,7 @@ def pob_r1cs_witness(cfg: PoBConfig, **kw):
         axis=-1,
     )
     com_msg = com_msg.at[..., 192].set(0x01).at[..., 271].set(0x80)
-    kb, com_bits = wit.keccak_static_trace(com_msg, 2)
+    kb, com_bits = _keccak_static_j(com_msg, 2)
     for k, v in kb.items():
         b[f"k_com_{k}"] = v
     com_bytes = wit.digest_bits_to_bytes(com_bits)
@@ -838,7 +852,7 @@ def pob_r1cs_witness(cfg: PoBConfig, **kw):
     layer_digests = []
     for i in range(L):
         _leaf_detector_wit(b, f"ld{i}", layers[..., i, :], lens[..., i])
-        kb, dig = wit.keccak_bytes_trace(layers[..., i, :], lens[..., i], cfg.max_node_blocks)
+        kb, dig = _keccak_bytes_j(layers[..., i, :], lens[..., i], cfg.max_node_blocks)
         for k, v in kb.items():
             b[f"k_l{i}_{k}"] = v
         layer_digests.append(wit.digest_bits_to_bytes(dig))
@@ -857,7 +871,7 @@ def pob_r1cs_witness(cfg: PoBConfig, **kw):
         axis=-1,
     )
     pow_msg = pow_msg.at[..., 104].set(0x01).at[..., 135].set(0x80)
-    kb, _pow_bits = wit.keccak_static_trace(pow_msg, 1)
+    kb, _pow_bits = _keccak_static_j(pow_msg, 1)
     for k, v in kb.items():
         b[f"k_pow_{k}"] = v
     pw_oh = _oh(cfg.pow_minimum_zero_bytes + relax, 33)

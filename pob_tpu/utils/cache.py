@@ -13,6 +13,44 @@ import os
 
 
 def host_cache_dir(prefix: str = "/tmp/jax_cache_pob") -> str:
+    """Key on CPU flags + model name + jax version: two VM hosts were
+    observed with identical cpuinfo *flags* but different XLA target tuning
+    (one compiled CPU AOT entries with +prefer-no-scatter/+prefer-no-gather
+    the other's loader rejects), so flags alone under-keyed the cache."""
+    parts = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "model name")):
+                    parts.append(line)
+                    if len(parts) == 2:
+                        break
+    except OSError:
+        pass
+    try:
+        from importlib.metadata import version
+
+        parts.append(version("jax"))
+    except Exception:
+        pass
+    key = hashlib.md5("".join(parts).encode()).hexdigest()[:10]
+    path = prefix + "_" + key
+    # one-time migration from the older flags-only key: same-host entries
+    # are valid there and re-compiling them (TPU setup programs run to
+    # minutes) is the only cost of a fresh dir
+    if not os.path.isdir(path):
+        legacy = _legacy_cache_dir(prefix)
+        if legacy != path and os.path.isdir(legacy):
+            import shutil
+
+            try:
+                shutil.copytree(legacy, path)
+            except OSError:
+                pass
+    return path
+
+
+def _legacy_cache_dir(prefix: str) -> str:
     try:
         with open("/proc/cpuinfo") as f:
             flags = next((l for l in f if l.startswith("flags")), "")

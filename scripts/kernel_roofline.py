@@ -103,6 +103,26 @@ def run(batch_log2: int = 16, iters: int = 10):
     r = bench_fn("g1_add", pa, reps, iters=iters, items_per_iter=m)
     results.append(("g1_add", r, 16 * 850))
 
+    # 6. indexed-memory primitives — the ops that decide MSM architecture.
+    # XLA:TPU serializes scatter updates (~1-2us/index measured r05, the
+    # reason Pippenger bucket accumulation is latency-bound and the planned
+    # bitsum path exists); gather and sort are the building blocks of the
+    # alternative sort-based MSM. Reported as rows/s (row = 16 x u32).
+    mi = n
+    rows = jnp.asarray(rng.integers(0, 1 << 16, size=(mi, 16), dtype=np.int64)
+                       .astype(np.uint32))
+    idx = jnp.asarray(rng.permutation(mi).astype(np.int32))
+    gf = jax.jit(lambda x, i: jnp.take(x, i, axis=0))
+    r = bench_fn("gather_rows", gf, rows, idx, iters=iters, items_per_iter=mi)
+    results.append(("gather_rows", r, 16))
+    sf = jax.jit(lambda x, i, v: x.at[i].set(v))
+    r = bench_fn("scatter_rows", sf, rows, idx, rows, iters=iters,
+                 items_per_iter=mi)
+    results.append(("scatter_rows", r, 16))
+    af = jax.jit(lambda i: jnp.argsort(i))
+    r = bench_fn("argsort_u32", af, idx, iters=iters, items_per_iter=mi)
+    results.append(("argsort_u32", r, 32))
+
     # chip integer peak estimate (u32 ops/s): v5p VPU ~ 4 int ops/cycle/lane
     # x 8 cores... use a coarse 2e14 for TPU, 5e10 for one CPU core
     peak_u32 = 2e14 if backend != "cpu" else 5e10

@@ -50,7 +50,7 @@ def main():
     log("a dispatched")
     b1 = groth16._msm_batch_kernel("g1", n_tiles, pts_g1, W)
     log("b1 dispatched")
-    b2 = groth16._msm_batched_g2(pts_g2, W)
+    b2 = groth16._msm_batched("g2", pts_g2, W)
     log("b2 dispatched")
     cl = groth16._msm_batch_kernel("g1", n_tiles, pts_l, W[:, 2:])
     log("cl dispatched")
@@ -64,7 +64,7 @@ def main():
     h = groth16._h_batch_kernel(k, mats, W[:, : cs.num_wires] + 1)
     a = groth16._msm_batch_kernel("g1", n_tiles, pts_g1, W[:, ::-1])
     b1 = groth16._msm_batch_kernel("g1", n_tiles, pts_g1, W[:, ::-1])
-    b2 = groth16._msm_batched_g2(pts_g2, W[:, ::-1])
+    b2 = groth16._msm_batched("g2", pts_g2, W[:, ::-1])
     cl = groth16._msm_batch_kernel("g1", n_tiles, pts_l, W[:, 2:][:, ::-1])
     ch = groth16._msm_batch_kernel("g1", n_tiles, pts_h, h)
     jax.block_until_ready((h, a, b1, b2, cl, ch))

@@ -77,7 +77,7 @@ def main():
     h = barrier("h", groth16._h_batch_kernel(pk.k, pk.mats, W))
     a_sum = barrier("a", groth16._msm_batch_kernel("g1", n_tiles, pk.a_query, W))
     b1_sum = barrier("b1", groth16._msm_batch_kernel("g1", n_tiles, pk.b1_query, W))
-    b2_sum = barrier("b2", groth16._msm_batched_g2(pk.b2_query, W))
+    b2_sum = barrier("b2", groth16._msm_batched("g2", pk.b2_query, W))
     c_l = barrier(
         "cl", groth16._msm_batch_kernel("g1", n_tiles, pk.l_query, W[:, npub + 1 :])
     )
@@ -106,7 +106,7 @@ def main():
     h = groth16._h_batch_kernel(pk.k, pk.mats, W)
     a_sum = groth16._msm_batch_kernel("g1", n_tiles, pk.a_query, W)
     b1_sum = groth16._msm_batch_kernel("g1", n_tiles, pk.b1_query, W)
-    b2_sum = groth16._msm_batched_g2(pk.b2_query, W)
+    b2_sum = groth16._msm_batched("g2", pk.b2_query, W)
     c_l = groth16._msm_batch_kernel("g1", n_tiles, pk.l_query, W[:, npub + 1 :])
     c_h = groth16._msm_batch_kernel("g1", n_tiles, pk.h_query, h)
     jax.block_until_ready((h, a_sum, b1_sum, b2_sum, c_l, c_h))

@@ -77,7 +77,7 @@ def main():
           flush=True)
 
     t0 = time.perf_counter()
-    w = [limb.limbs_to_int(buf[0, j]) for j in range(cs.num_wires)]
+    w = limb.limb_rows_to_ints(buf[0])
     rep["witness_decode_s"] = round(time.perf_counter() - t0, 1)
 
     expected = pob_expected_commitment(raw, PROD_CONFIG)

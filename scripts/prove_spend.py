@@ -88,7 +88,7 @@ def main():
     serialize.write_r1cs(os.path.join(outdir, "spend.r1cs"), cs)
     serialize.write_wtns(
         os.path.join(outdir, "spend.wtns"),
-        [limb.limbs_to_int(w) for w in witness],
+        limb.limb_rows_to_ints(witness),
     )
     serialize.write_proof(os.path.join(outdir, "proof.json"), proof, [commitment])
     print("artifacts written to", outdir, flush=True)

@@ -88,6 +88,18 @@ def test_pow_int():
         assert limb.limbs_to_int(out[i]) == pow(x, e, FR_MOD)
 
 
+def test_limb_rows_to_ints_round_trip():
+    import random
+
+    from pob_tpu.field import limb as lb
+
+    rnd = random.Random(5)
+    xs = [0, 1, (1 << 256) - 1] + [rnd.randrange(1 << 256) for _ in range(61)]
+    arr = lb.ints_to_limbs(xs)
+    assert lb.limb_rows_to_ints(arr) == xs
+    assert lb.limb_rows_to_ints(arr) == [lb.limbs_to_int(r) for r in arr]
+
+
 def test_byte_bit_conversions():
     xs = rand_elems(FR_MOD, 16) + [0, 1]
     a = jnp.asarray(limb.ints_to_limbs(xs))

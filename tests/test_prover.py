@@ -143,6 +143,40 @@ def test_pippenger_msm_g1_vs_ref():
     assert curve.to_affine_host("fq", out) == expect
 
 
+def test_pippenger_msm_dense_vs_ref():
+    """Dense one-hot bucket variant (the XLA:TPU scatter workaround) must
+    agree with the classic form and the host reference, incl. padding."""
+    m = 13
+    scalars = [rng.randrange(FR_MOD) for _ in range(m)] + [0]
+    pts = [g1_mul(G1_GEN, rng.randrange(1, 1000)) for _ in range(m)] + [None]
+    dev_pts = curve.g1_points_to_device(pts)
+    dev_sc = jnp.asarray(limb.ints_to_limbs(scalars))
+    out = jax.jit(
+        lambda p, s: msm.pippenger_msm_dense(curve.FqOps, p, s, n_tiles=4)
+    )(dev_pts, dev_sc)
+    expect = None
+    for s, p in zip(scalars, pts):
+        expect = g1_add(expect, g1_mul(p, s) if p is not None else None)
+    assert curve.to_affine_host("fq", out) == expect
+
+
+def test_pippenger_msm_dense_g2_vs_ref():
+    m = 5
+    scalars = [rng.randrange(FR_MOD) for _ in range(m)]
+    pts = [g2_mul(G2_GEN, rng.randrange(1, 1000)) for _ in range(m)]
+    dev_pts = curve.g2_points_to_device(pts)
+    dev_sc = jnp.asarray(limb.ints_to_limbs(scalars))
+    out = jax.jit(
+        lambda p, s: msm.pippenger_msm_dense(curve.Fq2Ops, p, s, n_tiles=2)
+    )(dev_pts, dev_sc)
+    from pob_tpu.field.ref import g2_add
+
+    expect = None
+    for s, p in zip(scalars, pts):
+        expect = g2_add(expect, g2_mul(p, s))
+    assert curve.to_affine_host("fq2", out) == expect
+
+
 def test_pippenger_msm_g2_vs_ref():
     m = 5
     scalars = [rng.randrange(FR_MOD) for _ in range(m)]

@@ -55,7 +55,7 @@ def spend_setup():
     ]
     blocks = jax.jit(spend_witness)(*args)
     buf = np.asarray(assemble_witness(cs, blocks))[0]
-    w = [limb.limbs_to_int(buf[j]) for j in range(cs.num_wires)]
+    w = limb.limb_rows_to_ints(buf)
     assert cs.check_witness(w), "canonical witness must pass"
     return cs, inp, coin, blocks, w
 
@@ -115,7 +115,7 @@ def test_alias_attack_rejected_by_strict_check(spend_setup):
     )[:, None, :]
 
     buf = np.asarray(assemble_witness(cs, {k: jnp.asarray(v) for k, v in b.items()}))[0]
-    w = [limb.limbs_to_int(buf[j]) for j in range(cs.num_wires)]
+    w = limb.limb_rows_to_ints(buf)
     assert not cs.check_witness(w), "alias attack must be rejected"
     # ... and rejected ONLY by the strict gadget: everything else is satisfied
     bad = cs.failing_constraints(w, limit=10)

@@ -38,7 +38,7 @@ def test_pob_r1cs_witness_satisfies_constraints():
 
     cs = build_pob_cs(TEST_CONFIG)
     buf = _pob_witness_buf(cs)
-    w = [limb.limbs_to_int(buf[0, j]) for j in range(cs.num_wires)]
+    w = limb.limb_rows_to_ints(buf[0])
     assert w[1] == pob_expected_commitment(json.load(open(FIX)), TEST_CONFIG)
     assert cs.check_witness(w)
 
@@ -51,7 +51,7 @@ def pob_cs_and_witness():
 
     cs = build_pob_cs(TEST_CONFIG)
     buf = _pob_witness_buf(cs)
-    w = [limb.limbs_to_int(buf[0, j]) for j in range(cs.num_wires)]
+    w = limb.limb_rows_to_ints(buf[0])
     assert cs.check_witness(w), "canonical witness must pass"
     return cs, w
 
@@ -142,7 +142,7 @@ def test_pob_corrupted_layers_cs():
     buf = np.asarray(assemble_witness(cs, pob_r1cs_witness(TEST_CONFIG, **kw)))
     expected_ok = [False, False, True]
     for bi, ok in enumerate(expected_ok):
-        w = [limb.limbs_to_int(buf[bi, j]) for j in range(cs.num_wires)]
+        w = limb.limb_rows_to_ints(buf[bi])
         assert cs.check_witness(w) == ok, f"variant {bi}: expected ok={ok}"
 
 

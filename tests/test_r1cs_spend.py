@@ -43,7 +43,7 @@ def test_spend_witness_satisfies_constraints(cs):
     buf = np.asarray(assemble_witness(cs, blocks))
 
     for i, case in enumerate([base, withdraw_all]):
-        w = [limb.limbs_to_int(buf[i, j]) for j in range(cs.num_wires)]
+        w = limb.limb_rows_to_ints(buf[i])
         assert w[0] == 1
         assert w[1] == spend_expected_commitment(case), "public commitment wire"
         assert cs.check_witness(w), f"constraints violated for case {i}"
