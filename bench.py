@@ -365,8 +365,14 @@ def main():
     print(json.dumps({"detail": {"spend": spend_detail}}), file=sys.stderr,
           flush=True)
     if os.environ.get("BENCH_POB", "1") == "1":
-        if _budget_left() < 300:
-            log(f"pob stage skipped: {_budget_left():.0f}s of wall budget left")
+        # a cold PoB setup (3.97M constraints, domain 2^22) runs to hours on
+        # the tunnel backend — attempting it on a residual budget just burns
+        # the clock (r04); require a cached pk unless the budget is generous
+        pob_cached = os.path.exists(os.path.join(CACHE, "pob_test_k.npz"))
+        need = 300 if pob_cached else 1800
+        if _budget_left() < need:
+            log(f"pob stage skipped: {_budget_left():.0f}s of wall budget "
+                f"left (need {need}; pk cached={pob_cached})")
         else:
             try:
                 _pob_rate, pob_detail = _bench_circuit("pob")

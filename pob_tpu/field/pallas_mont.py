@@ -29,9 +29,14 @@ MASK = limb.MASK
 def _conv32(lo, hi):
     """Schoolbook convolution of 16x16 lo/hi partial products into 32 diagonal
     accumulators. lo/hi: (16, 16, lanes) int32, [i, j] = halves of a_i * b_j.
-    Returns (32, lanes) int32 with each entry < 2^21 (sums of <= 32 < 2^16)."""
+    Returns (32, lanes) int32 with each entry < 2^21 (sums of <= 32 < 2^16).
+
+    Built with stack/concat only — `.at[...]` updates lower to scatter,
+    which Mosaic (Pallas TPU) does not implement (r05: the interpret-mode
+    CPU tests passed while the real-TPU lowering raised NotImplementedError).
+    """
     lanes = lo.shape[-1]
-    acc = jnp.zeros((2 * L, lanes), jnp.int32)
+    rows = []
     for d in range(2 * L - 1):
         terms = []
         for i in range(max(0, d - L + 1), min(L, d + 1)):
@@ -39,11 +44,17 @@ def _conv32(lo, hi):
         if d >= 1:
             for i in range(max(0, d - L), min(L, d)):
                 terms.append(hi[i, d - 1 - i])
-        if terms:
-            acc = acc.at[d].set(sum(terms))
+        rows.append(sum(terms) if terms else jnp.zeros((lanes,), jnp.int32))
     # hi half of the top diagonal lands in limb 31
-    acc = acc.at[2 * L - 1].add(hi[L - 1, L - 1])
-    return acc
+    rows.append(hi[L - 1, L - 1])
+    return jnp.stack(rows)
+
+
+def _shift_rows(x, d):
+    """x rolled down by d rows with zero fill (scatter-free: Mosaic has no
+    scatter lowering, so `.at[d:].set` is off-limits in-kernel)."""
+    pad = jnp.zeros((d,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([pad, x[:-d]], axis=0)
 
 
 def _carry16(acc, n):
@@ -51,18 +62,16 @@ def _carry16(acc, n):
     v = acc.astype(jnp.uint32)
     for _ in range(2):
         carry = v >> 16
-        v = (v & MASK).at[1:].add(carry[:-1])
+        v = (v & MASK) + _shift_rows(carry, 1)
     # remaining carries are 0/1: ripple via log-steps of (generate, propagate)
     g = v >> 16
     p = (v == MASK).astype(jnp.uint32)
     d = 1
     while d < n:
-        gs = jnp.zeros_like(g).at[d:].set(g[:-d])
-        ps = jnp.zeros_like(p).at[d:].set(p[:-d])
-        g = g | (p & gs)
-        p = p & ps
+        g = g | (p & _shift_rows(g, d))
+        p = p & _shift_rows(p, d)
         d *= 2
-    cin = jnp.zeros_like(g).at[1:].set(g[:-1])
+    cin = _shift_rows(g, 1)
     return ((v & MASK) + cin) & MASK
 
 
@@ -87,7 +96,7 @@ def _mont_kernel_body(spec_p, spec_np, a_ref, o_ref):
     # conditional subtract p: r = hi - p if (carry or hi >= p)
     comp = MASK - spec_p
     v = hi + comp
-    v = v.at[0].add(1)
+    v = jnp.concatenate([v[:1] + 1, v[1:]], axis=0)
     sub = _carry16(jnp.concatenate([v, jnp.zeros((1,) + v.shape[1:], jnp.uint32)]), L + 1)
     no_borrow = sub[L]  # 1 iff hi >= p
     take = (carry | no_borrow).astype(bool)

@@ -31,12 +31,25 @@ class BenchResult:
 def bench_fn(name, fn, *args, iters: int = 10, items_per_iter: int = 1,
              warmup: int = 1, **kw) -> BenchResult:
     """Time a jitted function with proper device synchronization."""
+    import numpy as np
+
+    def sync(o):
+        # block_until_ready has been observed NOT to block on tunneled TPU
+        # backends (r05: worker kills and timings hid behind it) — a D2H
+        # fetch is the reliable barrier. Fetch ONE element (the slice
+        # depends on the whole result being materialized) so the barrier
+        # costs a tunnel RTT, not a full-tensor transfer; the RTT is
+        # amortized over iters.
+        jax.block_until_ready(o)
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
     for _ in range(warmup):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / iters
     return BenchResult(name, dt, iters, items_per_iter)
