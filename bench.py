@@ -333,7 +333,11 @@ def _bench_circuit(circuit):
         if pv is None:
             log(f"{circuit}: planned prove failed; falling back to POB_NO_PLAN=1")
     if pv is None:
-        pv = _run_stage(circuit, "prove", extra_env={"POB_NO_PLAN": "1"})
+        # safety-net attempt: the r05-proven configuration (chunked scatter
+        # Pippenger, no plan) — force dense OFF so a dense-path fault cannot
+        # take down both attempts
+        pv = _run_stage(circuit, "prove",
+                        extra_env={"POB_NO_PLAN": "1", "POB_MSM_DENSE": "0"})
     if pv is None:
         return None, detail
     detail["prove"] = pv

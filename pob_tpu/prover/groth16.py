@@ -543,17 +543,23 @@ def _h_batch_kernel(k: int, mats, W):
 
 
 def _msm_dense_default() -> bool:
-    """Dense one-hot Pippenger (msm.pippenger_msm_dense), opt-in via
-    POB_MSM_DENSE=1. Motivation: XLA:TPU serializes the classic
-    formulation's bucket scatter at ~1-2us per index (r05 probe bisection —
-    both the perf floor and the worker-kill cause). The dense form is
-    CPU-verified bit-exact, but its first TPU run at chunk=8/m=2^18 ALSO
-    faulted the tunnel worker (r05), so it stays off by default until its
-    envelope is bisected (likely needs chunk<=2: its HBM traffic is
-    ~0.8 TB per batch element at m=2^18)."""
+    """Dense one-hot Pippenger (msm.pippenger_msm_dense) on TPU by default:
+    XLA:TPU serializes the classic formulation's bucket scatter at ~1-2us
+    per index (r05 probe bisection — both the perf floor and the worker-kill
+    cause). Measured on-chip at m=2^18 (probe_msm, r05): dense B=1/T=64
+    7.1 s/MSM rc=0 vs ~15.6 s scatter-equivalent; B=2 runs but is slower
+    per-MSM (25.9 s — bucket traffic scales with B), and chunk=8 faulted
+    the worker — so dense launches run UNBATCHED (chunk=1, see _msm_chunk).
+    CPU scatters are cheap, so the classic form stays the CPU default.
+    POB_MSM_DENSE=0/1 overrides."""
     import os
 
-    return os.environ.get("POB_MSM_DENSE", "").strip().lower() in ("1", "true")
+    v = os.environ.get("POB_MSM_DENSE", "").strip().lower()
+    if v in ("1", "true"):
+        return True
+    if v in ("0", "false"):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4))
@@ -865,10 +871,10 @@ def _msm_chunk(group: str, B: int, m: int) -> int:
     if env.strip():
         return max(1, min(B, int(env)))
     if _msm_dense_default():
-        # dense path has no scatter wall-time to bound, but its per-launch
-        # HBM traffic is ~0.8 TB per batch element at m=2^18 — chunk=8
-        # faulted the TPU worker (r05), so keep launches small
-        return max(1, min(B, 2))
+        # dense bucket traffic scales with the chunk (~0.8 TB per batch
+        # element at m=2^18): B=1 measured fastest per-MSM and chunk=8
+        # faulted the TPU worker (r05) — run dense launches unbatched
+        return 1
     budget = _IDX_BUDGET // (2 if group == "g2" else 1)
     return max(1, min(B, budget // (N_WINDOWS_IDX * max(1, m))))
 
